@@ -1,0 +1,180 @@
+"""HF/torch checkpoint → cxrmate_tpu parameter-pytree converters.
+
+Key layouts follow the released cxrmate checkpoints (the state-dict key remaps are
+documented in the reference's ``modules/transformers/*_model_to_hub.ipynb``; the final
+on-Hub names are plain HF ``CvtModel``/``BertLMHeadModel`` names, optionally wrapped by
+PEFT for the longitudinal checkpoints).
+
+Transpositions:
+  * torch Linear ``[out, in]``       → ``w: [in, out]``
+  * torch Conv2d ``[out, in/g, kh, kw]`` → ``w: [kh, kw, in/g, out]`` (HWIO)
+  * embeddings keep ``[num, dim]``
+  * LoRA: ``lora_A [r, in]`` → ``[in, r]``; ``lora_B [out, r]`` → ``[r, out]``
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+from cxrmate_tpu.configs import BertDecoderConfig, CvtConfig
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _lin(sd, key):
+    p = {"w": jnp.asarray(_np(sd[f"{key}.weight"]).T)}
+    if f"{key}.bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[f"{key}.bias"]))
+    return p
+
+
+def _ln(sd, key):
+    return {
+        "scale": jnp.asarray(_np(sd[f"{key}.weight"])),
+        "bias": jnp.asarray(_np(sd[f"{key}.bias"])),
+    }
+
+
+def _conv(sd, key):
+    return {"w": jnp.asarray(_np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0))}
+
+
+def convert_cvt_encoder(sd: Dict, config: CvtConfig, prefix: str = "") -> Dict:
+    """Convert a ``CvtWithProjectionHead`` state dict (keys ``cvt.*`` +
+    ``projection_head.*``, optionally under ``prefix``)."""
+    p = prefix
+    params, stats = {"stages": []}, {"stages": []}
+    for s in range(config.num_stages):
+        st = f"{p}cvt.encoder.stages.{s}"
+        emb = f"{st}.embedding.convolution_embeddings"
+        stage_p = {
+            "embed": {
+                "w": jnp.asarray(_np(sd[f"{emb}.projection.weight"]).transpose(2, 3, 1, 0)),
+                "b": jnp.asarray(_np(sd[f"{emb}.projection.bias"])),
+                "ln": _ln(sd, f"{emb}.normalization"),
+            },
+            "layers": [],
+        }
+        stage_s = {"layers": []}
+        if config.cls_token[s]:
+            stage_p["cls_token"] = jnp.asarray(_np(sd[f"{st}.cls_token"]))
+        for l in range(config.depth[s]):
+            ly = f"{st}.layers.{l}"
+            at = f"{ly}.attention.attention"
+            layer_p = {
+                "ln_before": _ln(sd, f"{ly}.layernorm_before"),
+                "ln_after": _ln(sd, f"{ly}.layernorm_after"),
+                "attn": {
+                    "out": _lin(sd, f"{ly}.attention.output.dense"),
+                },
+                "mlp": {
+                    "fc1": _lin(sd, f"{ly}.intermediate.dense"),
+                    "fc2": _lin(sd, f"{ly}.output.dense"),
+                },
+            }
+            layer_s = {}
+            for name, hf in (("q", "query"), ("k", "key"), ("v", "value")):
+                cp = f"{at}.convolution_projection_{hf}.convolution_projection"
+                layer_p["attn"][f"conv_{name}"] = _conv(sd, cp + ".convolution")
+                layer_p["attn"][f"bn_{name}"] = _ln(sd, cp + ".normalization")
+                layer_s[f"bn_{name}"] = {
+                    "mean": jnp.asarray(_np(sd[f"{cp}.normalization.running_mean"])),
+                    "var": jnp.asarray(_np(sd[f"{cp}.normalization.running_var"])),
+                }
+                layer_p["attn"][name] = _lin(sd, f"{at}.projection_{hf}")
+            stage_p["layers"].append(layer_p)
+            stage_s["layers"].append(layer_s)
+        params["stages"].append(stage_p)
+        stats["stages"].append(stage_s)
+
+    params["projection_head"] = {
+        "ln": _ln(sd, f"{p}projection_head.layer_norm"),
+        "proj": {"w": jnp.asarray(_np(sd[f"{p}projection_head.projection.weight"]).T)},
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_bert_decoder(sd: Dict, config: BertDecoderConfig, prefix: str = "") -> Dict:
+    """Convert a ``BertLMHeadModel`` state dict (keys ``bert.*`` + ``cls.*``).
+
+    Handles PEFT-wrapped decoders (``base_model.model.`` prefix, ``base_layer`` and
+    ``lora_A/lora_B.default`` leaves) transparently: LoRA factors become
+    ``lora_a``/``lora_b`` entries on the q/k linears."""
+    # Normalise PEFT prefixes.
+    norm = {}
+    for k, v in sd.items():
+        k = k.replace("base_model.model.", "").replace(".base_layer.", ".")
+        norm[k] = v
+    sd = norm
+    p = prefix
+
+    def lora(key):
+        extra = {}
+        a = f"{p}{key}.lora_A.default.weight"
+        b = f"{p}{key}.lora_B.default.weight"
+        if a in sd:
+            extra["lora_a"] = jnp.asarray(_np(sd[a]).T)
+            extra["lora_b"] = jnp.asarray(_np(sd[b]).T)
+        return extra
+
+    params = {
+        "embeddings": {
+            "word": jnp.asarray(_np(sd[f"{p}bert.embeddings.word_embeddings.weight"])),
+            "position": jnp.asarray(_np(sd[f"{p}bert.embeddings.position_embeddings.weight"])),
+            "token_type": jnp.asarray(_np(sd[f"{p}bert.embeddings.token_type_embeddings.weight"])),
+            "ln": _ln(sd, f"{p}bert.embeddings.LayerNorm"),
+        },
+        "layers": [],
+        "lm_head": {
+            "transform": _lin(sd, f"{p}cls.predictions.transform.dense"),
+            "ln": _ln(sd, f"{p}cls.predictions.transform.LayerNorm"),
+            "decoder": {
+                "w": jnp.asarray(_np(sd[f"{p}cls.predictions.decoder.weight"]).T),
+                "b": jnp.asarray(_np(sd[f"{p}cls.predictions.bias"])),
+            },
+        },
+    }
+    for l in range(config.num_hidden_layers):
+        ly = f"{p}bert.encoder.layer.{l}"
+        layer = {
+            "self": {
+                "q": {**_lin(sd, f"{ly}.attention.self.query"), **lora(f"bert.encoder.layer.{l}.attention.self.query")},
+                "k": {**_lin(sd, f"{ly}.attention.self.key"), **lora(f"bert.encoder.layer.{l}.attention.self.key")},
+                "v": _lin(sd, f"{ly}.attention.self.value"),
+                "out": _lin(sd, f"{ly}.attention.output.dense"),
+                "ln": _ln(sd, f"{ly}.attention.output.LayerNorm"),
+            },
+            "mlp": {
+                "fc1": _lin(sd, f"{ly}.intermediate.dense"),
+                "fc2": _lin(sd, f"{ly}.output.dense"),
+                "ln": _ln(sd, f"{ly}.output.LayerNorm"),
+            },
+        }
+        if config.add_cross_attention:
+            layer["cross"] = {
+                "q": _lin(sd, f"{ly}.crossattention.self.query"),
+                "k": _lin(sd, f"{ly}.crossattention.self.key"),
+                "v": _lin(sd, f"{ly}.crossattention.self.value"),
+                "out": _lin(sd, f"{ly}.crossattention.output.dense"),
+                "ln": _ln(sd, f"{ly}.crossattention.output.LayerNorm"),
+            }
+        params["layers"].append(layer)
+    return params
+
+
+def convert_encoder_decoder(sd: Dict, enc_cfg: CvtConfig, dec_cfg: BertDecoderConfig) -> Dict:
+    """Convert a full ``*CXREncoderDecoderModel`` state dict (keys ``encoder.*`` +
+    ``decoder.*``) into {'params': {'encoder','decoder'}, 'batch_stats': ...}."""
+    enc = convert_cvt_encoder(sd, enc_cfg, prefix="encoder.")
+    dec = convert_bert_decoder(sd, dec_cfg, prefix="decoder.")
+    return {
+        "params": {"encoder": enc["params"], "decoder": dec},
+        "batch_stats": enc["batch_stats"],
+    }

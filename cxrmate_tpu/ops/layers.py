@@ -1,0 +1,170 @@
+"""Functional neural-net primitives.
+
+Everything is a pure function over parameter pytrees (nested dicts of jnp arrays).
+Conventions:
+  * linear weights are stored transposed relative to torch: ``w`` has shape
+    ``[in, out]`` so application is ``x @ w + b`` (MXU-friendly, no per-call transpose).
+  * conv kernels are stored HWIO for NHWC convolutions.
+  * matmuls accumulate in float32 (``preferred_element_type``) regardless of the
+    compute dtype, matching TPU best practice and HF fp32-CPU numerics when inputs
+    are fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.matmul(x, params["w"], preferred_element_type=jnp.float32)
+    if "b" in params:
+        y = y + params["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def lora_linear(params, x: jnp.ndarray, scaling: float, *, dropout_rate: float = 0.0,
+                train: bool = False, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Linear with an optional LoRA delta: ``x W + s * drop(x) A^T B^T``.
+
+    Matches PEFT's ``lora.Linear``: dropout is applied to the LoRA branch input only.
+    ``params`` may or may not contain ``lora_a``/``lora_b`` ([in, r], [r, out]).
+    """
+    y = linear(params, x)
+    if "lora_a" in params:
+        xa = x
+        if train and dropout_rate > 0.0:
+            xa = dropout(xa, dropout_rate, rng)
+        delta = jnp.matmul(
+            jnp.matmul(xa, params["lora_a"], preferred_element_type=jnp.float32),
+            params["lora_b"],
+            preferred_element_type=jnp.float32,
+        )
+        y = y + (scaling * delta).astype(y.dtype)
+    return y
+
+
+def layer_norm(params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def batch_norm_infer(params, stats, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """BatchNorm over NHWC channels using running statistics."""
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(stats["var"].astype(jnp.float32) + eps)
+    y = (xf - stats["mean"].astype(jnp.float32)) * inv
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def batch_norm_train(
+    params, stats, x: jnp.ndarray, eps: float, momentum: float
+) -> Tuple[jnp.ndarray, dict]:
+    """BatchNorm with batch statistics; returns (y, updated running stats).
+
+    Running update uses the unbiased variance (torch semantics)."""
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes)
+    n = x.size // x.shape[-1]
+    unbiased = var * (n / max(n - 1, 1))
+    new_stats = {
+        "mean": (1 - momentum) * stats["mean"].astype(jnp.float32) + momentum * mean,
+        "var": (1 - momentum) * stats["var"].astype(jnp.float32) + momentum * unbiased,
+    }
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype), new_stats
+
+
+def conv2d(
+    w: jnp.ndarray,
+    x: jnp.ndarray,
+    stride: int,
+    padding: int,
+    groups: int = 1,
+    b: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """NHWC conv with HWIO kernel and symmetric padding (torch Conv2d semantics)."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — both HF CvT (nn.GELU) and BERT ('gelu') use the erf form."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
+    if rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    additive_mask: Optional[jnp.ndarray] = None,
+    *,
+    probs_dropout: float = 0.0,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Eager-order multi-head attention on [B, H, T, Dh] tensors.
+
+    Computes ``softmax(q k^T * scale + mask) v`` with fp32 score accumulation —
+    the exact op order of HF eager attention (scores, scale, add mask, softmax)."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if additive_mask is not None:
+        scores = scores + additive_mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs.astype(q.dtype)
+    if train and probs_dropout > 0.0:
+        probs = dropout(probs, probs_dropout, rng)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+    return ctx.astype(q.dtype)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[B, T, D] -> [B, H, T, Dh]"""
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, Dh] -> [B, T, D]"""
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min)
+
+
+def extended_attention_mask(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[..., K] {0,1} mask -> additive mask with torch's ``(1-m) * finfo.min``."""
+    m = mask.astype(jnp.float32)
+    neg = jnp.finfo(jnp.float32).min if dtype == jnp.float32 else jnp.finfo(dtype).min
+    return ((1.0 - m) * neg).astype(jnp.float32)
