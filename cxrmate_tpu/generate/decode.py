@@ -1,0 +1,227 @@
+"""On-device autoregressive decoding with a static-shape KV cache.
+
+One ``jax.lax.while_loop`` per generation mode (greedy/sample here, beam in
+``beam.py``); everything — token-type tracking, cumulative position ids, mask-token
+attention semantics, EOS bookkeeping — runs on device with static shapes.
+
+Semantics mirror HF ``generate`` as driven by the reference models:
+
+  * single/multi (`modelling_single.py:217-248`): decoder attention mask is all ones
+    (even over post-EOS padding — HF's BertLMHeadModel default), position ids are
+    absolute ``arange``, token types switch sections at the first occurrence of each
+    special token.
+  * longitudinal (`modelling_longitudinal.py:251-295`): attention mask is
+    ``ids != mask_token_id`` (prompt padding and post-EOS pads are masked), position
+    ids are ``relu(cumsum(mask)-1)``, sections are ``[0, 1, 0, 1]``.
+  * HF prepends ``decoder_start_token_id`` and the reference strips it
+    (`gt_prompt.py:293-294`); we never prepend, so our sequences equal the
+    reference's *post-strip* sequences.
+
+The returned sequences have static width ``prompt_len + max_new_tokens``, padded
+with ``pad_token_id`` after EOS — exactly HF's padding, just to a fixed width.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cxrmate_tpu.configs import EncoderDecoderConfig
+from cxrmate_tpu.generate.logits_process import warp_logits
+from cxrmate_tpu.models import bert as bert_mod
+from cxrmate_tpu.models import encoder_decoder as ed
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+    pad_token_id: int = 4
+    # longitudinal mask-token semantics; None → all-ones attention (single/multi)
+    mask_token_id: Optional[int] = None
+    special_token_ids: Tuple[int, ...] = (3,)  # section boundaries for token types
+    token_type_sections: Optional[Tuple[int, ...]] = None
+    num_beams: int = 1
+    do_sample: bool = False
+    top_k: int = 0
+    top_p: float = 1.0
+    temperature: float = 1.0
+    length_penalty: float = 1.0
+    early_stopping: bool = False
+
+    def sections(self) -> Tuple[int, ...]:
+        if self.token_type_sections is not None:
+            return tuple(self.token_type_sections)[: len(self.special_token_ids) + 1]
+        return tuple(range(len(self.special_token_ids) + 1))
+
+
+def _specials_present(seq_prefix: jnp.ndarray, gen_cfg: GenerationConfig) -> jnp.ndarray:
+    """[B, L] prefix → [B, n_specials] presence flags."""
+    return jnp.stack(
+        [jnp.any(seq_prefix == s, axis=1) for s in gen_cfg.special_token_ids], axis=1
+    )
+
+
+def _type_from_present(present: jnp.ndarray, gen_cfg: GenerationConfig) -> jnp.ndarray:
+    """Reference `token_ids_to_token_type_ids_past` rule: iterate specials in order,
+    last one present wins (modelling_single.py:294-318)."""
+    sections = gen_cfg.sections()
+    b = present.shape[0]
+    out = jnp.full((b,), sections[0], dtype=jnp.int32)
+    for i in range(len(gen_cfg.special_token_ids)):
+        out = jnp.where(present[:, i], sections[i + 1], out)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "gen_cfg", "max_new_tokens_pad", "return_scores")
+)
+def generate(
+    variables,
+    config: EncoderDecoderConfig,
+    gen_cfg: GenerationConfig,
+    encoder_hidden: jnp.ndarray,
+    encoder_mask: jnp.ndarray,
+    prompt_ids: jnp.ndarray,
+    prompt_mask: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    *,
+    max_new_tokens_pad: Optional[int] = None,
+    return_scores: bool = False,
+):
+    """Greedy or sampled decoding (num_beams == 1).
+
+    Args:
+      encoder_hidden/encoder_mask: from ``encoder_decoder.encode_images``.
+      prompt_ids/prompt_mask: [B, P] — for single/multi pass a [B, 1] BOS column.
+      return_scores: also return per-step pre-softmax logits [B, max_new, V]
+        (the SCST sample path needs them, scst/gt_prompt.py:189).
+    Returns:
+      sequences [B, P + max_new] (+ scores if requested).
+    """
+    assert gen_cfg.num_beams == 1
+    params = variables["params"]["decoder"]
+    dcfg = config.decoder
+    b, p_len = prompt_ids.shape
+    max_new = gen_cfg.max_new_tokens if max_new_tokens_pad is None else max_new_tokens_pad
+    t_total = p_len + max_new
+    masked_pads = gen_cfg.mask_token_id is not None
+
+    # ---- prompt-side ids ----
+    prompt_types = ed.token_ids_to_token_type_ids(
+        prompt_ids, gen_cfg.special_token_ids, gen_cfg.sections()
+    )
+    if masked_pads:
+        attn_prompt = (prompt_ids != gen_cfg.mask_token_id).astype(jnp.int32)
+        prompt_pos = ed.cumulative_position_ids(attn_prompt)
+    else:
+        attn_prompt = jnp.ones((b, p_len), dtype=jnp.int32)
+        prompt_pos = jnp.broadcast_to(jnp.arange(p_len), (b, p_len))
+
+    cache = bert_mod.init_cache(dcfg, b, t_total, encoder_hidden.shape[1], dtype=encoder_hidden.dtype)
+    prefill_logits, cache = bert_mod.bert_prefill(
+        params, dcfg, cache, prompt_ids, attn_prompt, prompt_types, prompt_pos,
+        encoder_hidden, encoder_mask, lora=config.lora,
+    )
+
+    seq = jnp.concatenate(
+        [prompt_ids, jnp.full((b, max_new), gen_cfg.pad_token_id, dtype=prompt_ids.dtype)], axis=1
+    )
+    key_mask = jnp.concatenate([attn_prompt, jnp.zeros((b, max_new), jnp.int32)], axis=1)
+    # specials seen in seq[:, :cur-1] (excludes the current query token — HF drops
+    # the last column in token_ids_to_token_type_ids_past)
+    present = _specials_present(prompt_ids, gen_cfg)
+    real_count = jnp.sum(attn_prompt, axis=1)
+
+    def select_token(logits, step_rng):
+        if gen_cfg.do_sample:
+            warped = warp_logits(
+                logits.astype(jnp.float32), gen_cfg.temperature, gen_cfg.top_k, gen_cfg.top_p
+            )
+            return jax.random.categorical(step_rng, warped, axis=-1).astype(seq.dtype), warped
+        logits32 = logits.astype(jnp.float32)
+        return jnp.argmax(logits32, axis=-1).astype(seq.dtype), logits32
+
+    # first next-token from the prefill logits at the last prompt column
+    rng0 = rng if rng is not None else jax.random.PRNGKey(0)
+    first_rng, loop_rng = jax.random.split(rng0)
+    tok0, logits0 = select_token(prefill_logits[:, -1, :], first_rng)
+    finished0 = tok0 == gen_cfg.eos_token_id
+    seq = jax.lax.dynamic_update_slice(seq, tok0[:, None], (0, p_len))
+    new_mask0 = (tok0 != gen_cfg.mask_token_id).astype(jnp.int32) if masked_pads else jnp.ones((b,), jnp.int32)
+    key_mask = jax.lax.dynamic_update_slice(key_mask, new_mask0[:, None], (0, p_len))
+    real_count = real_count + new_mask0
+
+    scores = None
+    if return_scores:
+        scores = jnp.zeros((b, max_new, dcfg.vocab_size), jnp.float32)
+        scores = scores.at[:, 0].set(logits0)
+
+    state = {
+        "seq": seq,
+        "key_mask": key_mask,
+        "present": present,
+        "real_count": real_count,
+        "cur": jnp.asarray(p_len + 1, jnp.int32),  # tokens so far
+        "finished": finished0,
+        "cache": cache,
+        "rng": loop_rng,
+        "scores": scores,
+    }
+
+    def cond(s):
+        return (s["cur"] < t_total) & ~jnp.all(s["finished"])
+
+    def body(s):
+        i = s["cur"] - 1  # query index = last appended token
+        q_tok = jax.lax.dynamic_slice(s["seq"], (0, i), (b, 1))[:, 0]
+        # fold tokens [0, i) into presence: the token at i-1 was not folded yet
+        prev_tok = jax.lax.dynamic_slice(s["seq"], (0, i - 1), (b, 1))[:, 0]
+        present = s["present"] | jnp.stack(
+            [prev_tok == sp for sp in gen_cfg.special_token_ids], axis=1
+        )
+        ttype = _type_from_present(present, gen_cfg)
+        if masked_pads:
+            pos = jnp.maximum(s["real_count"] - 1, 0)
+        else:
+            pos = jnp.full((b,), 0, jnp.int32) + i
+        logits, cache = bert_mod.bert_step(
+            params, dcfg, s["cache"], q_tok, ttype, pos, i, s["key_mask"], encoder_mask,
+            lora=config.lora,
+        )
+        rng_step, rng_next = jax.random.split(s["rng"])
+        tok, step_scores = select_token(logits, rng_step)
+        tok = jnp.where(s["finished"], gen_cfg.pad_token_id, tok)
+        finished = s["finished"] | (tok == gen_cfg.eos_token_id)
+        seq = jax.lax.dynamic_update_slice(s["seq"], tok[:, None], (0, s["cur"]))
+        if masked_pads:
+            nm = (tok != gen_cfg.mask_token_id).astype(jnp.int32)
+        else:
+            nm = jnp.ones((b,), jnp.int32)
+        key_mask = jax.lax.dynamic_update_slice(s["key_mask"], nm[:, None], (0, s["cur"]))
+        out = {
+            "seq": seq,
+            "key_mask": key_mask,
+            "present": present,
+            "real_count": s["real_count"] + nm,
+            "cur": s["cur"] + 1,
+            "finished": finished,
+            "cache": cache,
+            "rng": rng_next,
+            "scores": s["scores"],
+        }
+        if return_scores:
+            out["scores"] = jax.lax.dynamic_update_slice(
+                s["scores"], step_scores[:, None, :], (0, s["cur"] - p_len, 0)
+            )
+        return out
+
+    state = jax.lax.while_loop(cond, body, state)
+    if return_scores:
+        return state["seq"], state["scores"]
+    return state["seq"]

@@ -1,0 +1,397 @@
+"""BERT LM-head decoder with cross-attention, functional and cache-aware.
+
+Re-implements the behaviour of HF ``BertLMHeadModel`` as used by the reference
+(`/root/reference/modules/transformers/single_model/modelling_single.py:119`:
+``BertConfig(is_decoder=True, add_cross_attention=True)``, eager attention), plus:
+
+  * optional LoRA adapters on the self-attention query/key projections, matching the
+    PEFT wrapping of the longitudinal checkpoints
+    (`modelling_longitudinal.py:163-170`: r=8, alpha=32, dropout 0.1);
+  * a static-shape KV cache (per-layer ``k/v`` of width ``max_len``) for
+    ``lax.while_loop`` decoding: ``bert_prefill`` writes positions ``[0, P)`` and
+    ``bert_step`` inserts one token at a dynamic index. Cross-attention K/V are
+    computed once at prefill, exactly like HF's EncoderDecoderCache.
+
+Numerics follow HF eager order: scores = q·kᵀ/√d + additive mask → softmax → ·v;
+additive masks use ``(1 - m) * finfo.min``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cxrmate_tpu.configs import BertDecoderConfig, LoraConfig
+from cxrmate_tpu.ops.layers import (
+    attention,
+    dropout,
+    gelu,
+    layer_norm,
+    linear,
+    lora_linear,
+    merge_heads,
+    split_heads,
+)
+
+NEG = float(jnp.finfo(jnp.float32).min)
+
+
+# --------------------------------------------------------------------------- init
+def _linear_init(rng, fan_in, fan_out, std=0.02):
+    return {
+        "w": jax.random.normal(rng, (fan_in, fan_out)) * std,
+        "b": jnp.zeros((fan_out,)),
+    }
+
+
+def _ln_init(dim):
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def init_bert_params(rng, config: BertDecoderConfig, lora: Optional[LoraConfig] = None):
+    d = config.hidden_size
+    rng, k1, k2, k3 = jax.random.split(rng, 4)
+    word = jax.random.normal(k1, (config.vocab_size, d)) * 0.02
+    word = word.at[config.pad_token_id].set(0.0)  # torch padding_idx semantics
+    params = {
+        "embeddings": {
+            "word": word,
+            "position": jax.random.normal(k2, (config.max_position_embeddings, d)) * 0.02,
+            "token_type": jax.random.normal(k3, (config.type_vocab_size, d)) * 0.02,
+            "ln": _ln_init(d),
+        },
+        "layers": [],
+    }
+    for _ in range(config.num_hidden_layers):
+        rng, *ks = jax.random.split(rng, 12)
+        layer = {
+            "self": {
+                "q": _linear_init(ks[0], d, d),
+                "k": _linear_init(ks[1], d, d),
+                "v": _linear_init(ks[2], d, d),
+                "out": _linear_init(ks[3], d, d),
+                "ln": _ln_init(d),
+            },
+            "mlp": {
+                "fc1": _linear_init(ks[4], d, config.intermediate_size),
+                "fc2": _linear_init(ks[5], config.intermediate_size, d),
+                "ln": _ln_init(d),
+            },
+        }
+        if config.add_cross_attention:
+            ce = config.cross_attention_hidden_size
+            layer["cross"] = {
+                "q": _linear_init(ks[6], d, d),
+                "k": _linear_init(ks[7], ce, d),
+                "v": _linear_init(ks[8], ce, d),
+                "out": _linear_init(ks[9], d, d),
+                "ln": _ln_init(d),
+            }
+        if lora is not None:
+            for name, kk in (("q", ks[10]), ("k", rng)):
+                layer["self"][name]["lora_a"] = jax.random.normal(kk, (d, lora.r)) * (1.0 / math.sqrt(d))
+                layer["self"][name]["lora_b"] = jnp.zeros((lora.r, d))
+        params["layers"].append(layer)
+    rng, k4, k5 = jax.random.split(rng, 3)
+    params["lm_head"] = {
+        "transform": _linear_init(k4, d, d),
+        "ln": _ln_init(d),
+        "decoder": {"w": jax.random.normal(k5, (d, config.vocab_size)) * 0.02, "b": jnp.zeros((config.vocab_size,))},
+    }
+    return params
+
+
+# ---------------------------------------------------------------------- embeddings
+def bert_embed(
+    params,
+    config: BertDecoderConfig,
+    input_ids: jnp.ndarray,
+    token_type_ids: Optional[jnp.ndarray],
+    position_ids: jnp.ndarray,
+    *,
+    train: bool = False,
+    rng=None,
+    dtype=None,
+) -> jnp.ndarray:
+    e = params["embeddings"]
+    x = jnp.take(e["word"], input_ids, axis=0)
+    if dtype is not None:
+        x = x.astype(dtype)
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    x = x + jnp.take(e["token_type"], token_type_ids, axis=0).astype(x.dtype)
+    x = x + jnp.take(e["position"], position_ids, axis=0).astype(x.dtype)
+    x = layer_norm(e["ln"], x, config.layer_norm_eps)
+    if train:
+        x = dropout(x, config.hidden_dropout_prob, rng)
+    return x
+
+
+def _self_attention(
+    p,
+    hidden,
+    additive_mask,
+    config: BertDecoderConfig,
+    lora: Optional[LoraConfig],
+    *,
+    kv_hidden=None,
+    train=False,
+    rng=None,
+):
+    """Self-attention sublayer on full sequences (teacher forcing)."""
+    rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+    if lora is not None:
+        q = lora_linear(p["q"], hidden, lora.scaling, dropout_rate=lora.dropout, train=train, rng=rngs[0])
+        k = lora_linear(p["k"], hidden, lora.scaling, dropout_rate=lora.dropout, train=train, rng=rngs[1])
+    else:
+        q = linear(p["q"], hidden)
+        k = linear(p["k"], hidden)
+    v = linear(p["v"], hidden)
+    ctx = attention(
+        split_heads(q, config.num_attention_heads),
+        split_heads(k, config.num_attention_heads),
+        split_heads(v, config.num_attention_heads),
+        scale=1.0 / math.sqrt(config.head_dim),
+        additive_mask=additive_mask,
+        probs_dropout=config.attention_probs_dropout_prob,
+        train=train,
+        rng=rngs[2],
+    )
+    out = linear(p["out"], merge_heads(ctx))
+    if train:
+        out = dropout(out, config.hidden_dropout_prob, rngs[3])
+    return layer_norm(p["ln"], out + hidden, config.layer_norm_eps)
+
+
+def _cross_attention(p, hidden, enc_hidden, additive_mask, config, *, train=False, rng=None):
+    rngs = jax.random.split(rng, 2) if rng is not None else [None, None]
+    q = linear(p["q"], hidden)
+    k = linear(p["k"], enc_hidden)
+    v = linear(p["v"], enc_hidden)
+    ctx = attention(
+        split_heads(q, config.num_attention_heads),
+        split_heads(k, config.num_attention_heads),
+        split_heads(v, config.num_attention_heads),
+        scale=1.0 / math.sqrt(config.head_dim),
+        additive_mask=additive_mask,
+        probs_dropout=config.attention_probs_dropout_prob,
+        train=train,
+        rng=rngs[0],
+    )
+    out = linear(p["out"], merge_heads(ctx))
+    if train:
+        out = dropout(out, config.hidden_dropout_prob, rngs[1])
+    return layer_norm(p["ln"], out + hidden, config.layer_norm_eps)
+
+
+def _mlp(p, hidden, config, *, train=False, rng=None):
+    y = gelu(linear(p["fc1"], hidden))
+    y = linear(p["fc2"], y)
+    if train:
+        y = dropout(y, config.hidden_dropout_prob, rng)
+    return layer_norm(p["ln"], y + hidden, config.layer_norm_eps)
+
+
+def bert_lm_head(params, hidden) -> jnp.ndarray:
+    h = linear(params["lm_head"]["transform"], hidden)
+    h = gelu(h)
+    h = layer_norm(params["lm_head"]["ln"], h, 1e-12)
+    return linear(params["lm_head"]["decoder"], h)
+
+
+def causal_additive_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, L] padding mask → [B, 1, L, L] additive causal+padding mask
+    (torch ``get_extended_attention_mask`` for decoders)."""
+    b, l = attention_mask.shape
+    causal = jnp.tril(jnp.ones((l, l), dtype=jnp.float32))
+    combined = causal[None, :, :] * attention_mask[:, None, :].astype(jnp.float32)
+    return ((1.0 - combined) * NEG)[:, None, :, :]
+
+
+def padding_additive_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, K] key padding mask → [B, 1, 1, K] additive mask."""
+    m = attention_mask.astype(jnp.float32)
+    return ((1.0 - m) * NEG)[:, None, None, :]
+
+
+def bert_forward(
+    params,
+    config: BertDecoderConfig,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    encoder_hidden_states: Optional[jnp.ndarray] = None,
+    encoder_attention_mask: Optional[jnp.ndarray] = None,
+    *,
+    lora: Optional[LoraConfig] = None,
+    train: bool = False,
+    rng=None,
+) -> jnp.ndarray:
+    """Full-sequence (teacher-forcing) forward → logits [B, L, V]."""
+    b, l = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, l), dtype=jnp.int32)
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(l), (b, l))
+    self_mask = causal_additive_mask(attention_mask)
+    cross_mask = None
+    if encoder_hidden_states is not None and encoder_attention_mask is not None:
+        cross_mask = padding_additive_mask(encoder_attention_mask)
+
+    rngs = jax.random.split(rng, config.num_hidden_layers * 3 + 1) if rng is not None else None
+    hidden = bert_embed(
+        params, config, input_ids, token_type_ids, position_ids,
+        train=train, rng=rngs[0] if rngs is not None else None,
+        dtype=encoder_hidden_states.dtype if encoder_hidden_states is not None else None,
+    )
+    for i, layer in enumerate(params["layers"]):
+        r = rngs[1 + 3 * i : 4 + 3 * i] if rngs is not None else [None] * 3
+        hidden = _self_attention(layer["self"], hidden, self_mask, config, lora, train=train, rng=r[0])
+        if encoder_hidden_states is not None and "cross" in layer:
+            hidden = _cross_attention(layer["cross"], hidden, encoder_hidden_states, cross_mask, config, train=train, rng=r[1])
+        hidden = _mlp(layer["mlp"], hidden, config, train=train, rng=r[2])
+    return bert_lm_head(params, hidden)
+
+
+# ------------------------------------------------------------------ cached decode
+@dataclasses.dataclass
+class DecodeCache:
+    """Static-shape KV cache. ``self_k/self_v``: [L, B, H, T, Dh] (T = max sequence
+    length); ``cross_k/cross_v``: [L, B, H, S, Dh], computed once at prefill."""
+
+    self_k: jnp.ndarray
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray
+    cross_v: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    DecodeCache, data_fields=["self_k", "self_v", "cross_k", "cross_v"], meta_fields=[]
+)
+
+
+def init_cache(
+    config: BertDecoderConfig, batch: int, max_len: int, enc_len: int, dtype=jnp.float32
+) -> DecodeCache:
+    l, h, dh = config.num_hidden_layers, config.num_attention_heads, config.head_dim
+    return DecodeCache(
+        self_k=jnp.zeros((l, batch, h, max_len, dh), dtype),
+        self_v=jnp.zeros((l, batch, h, max_len, dh), dtype),
+        cross_k=jnp.zeros((l, batch, h, enc_len, dh), dtype),
+        cross_v=jnp.zeros((l, batch, h, enc_len, dh), dtype),
+    )
+
+
+def bert_prefill(
+    params,
+    config: BertDecoderConfig,
+    cache: DecodeCache,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    token_type_ids: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    encoder_hidden_states: jnp.ndarray,
+    encoder_attention_mask: jnp.ndarray,
+    *,
+    lora: Optional[LoraConfig] = None,
+) -> Tuple[jnp.ndarray, DecodeCache]:
+    """Process the prompt (positions [0, P)) and fill the cache.
+
+    Returns (logits [B, P, V], cache)."""
+    b, p_len = input_ids.shape
+    heads = config.num_attention_heads
+    self_mask = causal_additive_mask(attention_mask)
+    cross_mask = padding_additive_mask(encoder_attention_mask)
+    hidden = bert_embed(
+        params, config, input_ids, token_type_ids, position_ids, dtype=encoder_hidden_states.dtype
+    )
+    self_k, self_v = cache.self_k, cache.self_v
+    cross_k, cross_v = cache.cross_k, cache.cross_v
+    for i, layer in enumerate(params["layers"]):
+        sp = layer["self"]
+        if lora is not None:
+            q = lora_linear(sp["q"], hidden, lora.scaling)
+            k = lora_linear(sp["k"], hidden, lora.scaling)
+        else:
+            q = linear(sp["q"], hidden)
+            k = linear(sp["k"], hidden)
+        v = linear(sp["v"], hidden)
+        qh, kh, vh = (split_heads(t, heads) for t in (q, k, v))
+        self_k = jax.lax.dynamic_update_slice(self_k, kh[None].astype(self_k.dtype), (i, 0, 0, 0, 0))
+        self_v = jax.lax.dynamic_update_slice(self_v, vh[None].astype(self_v.dtype), (i, 0, 0, 0, 0))
+        ctx = attention(qh, kh, vh, 1.0 / math.sqrt(config.head_dim), self_mask)
+        hidden = layer_norm(sp["ln"], linear(sp["out"], merge_heads(ctx)) + hidden, config.layer_norm_eps)
+
+        cp = layer["cross"]
+        ck = split_heads(linear(cp["k"], encoder_hidden_states), heads)
+        cv = split_heads(linear(cp["v"], encoder_hidden_states), heads)
+        cross_k = cross_k.at[i].set(ck.astype(cross_k.dtype))
+        cross_v = cross_v.at[i].set(cv.astype(cross_v.dtype))
+        cq = split_heads(linear(cp["q"], hidden), heads)
+        cctx = attention(cq, ck, cv, 1.0 / math.sqrt(config.head_dim), cross_mask)
+        hidden = layer_norm(cp["ln"], linear(cp["out"], merge_heads(cctx)) + hidden, config.layer_norm_eps)
+
+        hidden = _mlp(layer["mlp"], hidden, config)
+    logits = bert_lm_head(params, hidden)
+    return logits, DecodeCache(self_k, self_v, cross_k, cross_v)
+
+
+def bert_step(
+    params,
+    config: BertDecoderConfig,
+    cache: DecodeCache,
+    input_id: jnp.ndarray,
+    token_type_id: jnp.ndarray,
+    position_id: jnp.ndarray,
+    index: jnp.ndarray,
+    key_mask: jnp.ndarray,
+    encoder_attention_mask: jnp.ndarray,
+    *,
+    lora: Optional[LoraConfig] = None,
+) -> Tuple[jnp.ndarray, DecodeCache]:
+    """One decode step: token at dynamic position ``index``.
+
+    Args:
+      input_id/token_type_id/position_id: [B] current-token ids.
+      index: scalar int32, the cache slot to write (== number of tokens so far).
+      key_mask: [B, T] 1 for attendable cache positions ≤ index (the caller builds
+        this from its running sequence: pads masked for the longitudinal variant,
+        all-ones-up-to-index for single/multi — HF semantics).
+    Returns (logits [B, V], updated cache).
+    """
+    heads = config.num_attention_heads
+    hidden = bert_embed(
+        params, config, input_id[:, None], token_type_id[:, None], position_id[:, None],
+        dtype=cache.cross_k.dtype,
+    )
+    self_mask = padding_additive_mask(key_mask)  # [B,1,1,T]
+    cross_mask = padding_additive_mask(encoder_attention_mask)
+    self_k, self_v = cache.self_k, cache.self_v
+    for i, layer in enumerate(params["layers"]):
+        sp = layer["self"]
+        if lora is not None:
+            q = lora_linear(sp["q"], hidden, lora.scaling)
+            k = lora_linear(sp["k"], hidden, lora.scaling)
+        else:
+            q = linear(sp["q"], hidden)
+            k = linear(sp["k"], hidden)
+        v = linear(sp["v"], hidden)
+        qh, kh, vh = (split_heads(t, heads) for t in (q, k, v))  # [B,H,1,Dh]
+        self_k = jax.lax.dynamic_update_slice(self_k, kh[None].astype(self_k.dtype), (i, 0, 0, index, 0))
+        self_v = jax.lax.dynamic_update_slice(self_v, vh[None].astype(self_v.dtype), (i, 0, 0, index, 0))
+        ctx = attention(qh, self_k[i], self_v[i], 1.0 / math.sqrt(config.head_dim), self_mask)
+        hidden = layer_norm(sp["ln"], linear(sp["out"], merge_heads(ctx)) + hidden, config.layer_norm_eps)
+
+        cp = layer["cross"]
+        cq = split_heads(linear(cp["q"], hidden), heads)
+        cctx = attention(cq, cache.cross_k[i], cache.cross_v[i], 1.0 / math.sqrt(config.head_dim), cross_mask)
+        hidden = layer_norm(cp["ln"], linear(cp["out"], merge_heads(cctx)) + hidden, config.layer_norm_eps)
+
+        hidden = _mlp(layer["mlp"], hidden, config)
+    logits = bert_lm_head(params, hidden)
+    return logits[:, 0, :], DecodeCache(self_k, self_v, cache.cross_k, cache.cross_v)
