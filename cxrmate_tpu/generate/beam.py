@@ -1,0 +1,198 @@
+"""Static-shape beam search in a single ``lax.while_loop``.
+
+A faithful JAX port of the HF (transformers 4.57) `_beam_search` semantics the
+reference relies on for its test-time decoding (`num_test_beams: 4`,
+`config/train/single_tf.yaml:24`): 2K candidate continuations per step, finished-beam
+finalisation restricted to the top-K candidates, length penalty applied at
+finalisation, the early-stop heuristic of ``early_stopping=False``, and pad-filled
+static sequence buffers. Token-identity vs HF is asserted in tests/test_generate_beam.py.
+
+Unlike HF we run the prompt prefill once per batch item and tile the KV cache across
+beams (identical numerics, K× less prefill compute)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cxrmate_tpu.configs import EncoderDecoderConfig
+from cxrmate_tpu.generate.decode import GenerationConfig
+from cxrmate_tpu.models import bert as bert_mod
+from cxrmate_tpu.models import encoder_decoder as ed
+
+NEG = -1.0e9
+
+
+def _gather_beams(tensor, beam_indices):
+    """[B, K_src, ...] gathered along dim 1 by [B, K_out] indices."""
+    idx = beam_indices
+    while idx.ndim < tensor.ndim:
+        idx = idx[..., None]
+    return jnp.take_along_axis(tensor, idx.astype(jnp.int32), axis=1)
+
+
+@partial(jax.jit, static_argnames=("config", "gen_cfg"))
+def beam_search(
+    variables,
+    config: EncoderDecoderConfig,
+    gen_cfg: GenerationConfig,
+    encoder_hidden: jnp.ndarray,
+    encoder_mask: jnp.ndarray,
+    prompt_ids: jnp.ndarray,
+    prompt_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam-search decode → (sequences [B, P + max_new], scores [B]).
+
+    Sequences are the best finished hypothesis per batch item (HF
+    ``num_return_sequences=1``), pad-filled to the static width."""
+    params = variables["params"]["decoder"]
+    dcfg = config.decoder
+    k = gen_cfg.num_beams
+    b, p_len = prompt_ids.shape
+    max_new = gen_cfg.max_new_tokens
+    t_total = p_len + max_new
+    keep = 2 * k  # beams_to_keep with one EOS token
+    vocab = dcfg.vocab_size
+    masked_pads = gen_cfg.mask_token_id is not None
+    penalty = gen_cfg.length_penalty
+
+    # ---- prefill once per batch item ----
+    prompt_types = ed.token_ids_to_token_type_ids(
+        prompt_ids, gen_cfg.special_token_ids, gen_cfg.sections()
+    )
+    if masked_pads:
+        attn_prompt = (prompt_ids != gen_cfg.mask_token_id).astype(jnp.int32)
+        prompt_pos = ed.cumulative_position_ids(attn_prompt)
+    else:
+        attn_prompt = jnp.ones((b, p_len), dtype=jnp.int32)
+        prompt_pos = jnp.broadcast_to(jnp.arange(p_len), (b, p_len))
+    cache = bert_mod.init_cache(dcfg, b, t_total, encoder_hidden.shape[1], dtype=encoder_hidden.dtype)
+    prefill_logits, cache = bert_mod.bert_prefill(
+        params, dcfg, cache, prompt_ids, attn_prompt, prompt_types, prompt_pos,
+        encoder_hidden, encoder_mask, lora=config.lora,
+    )
+
+    # tile cache and encoder tensors to B*K (beam-major within batch)
+    def tile(x, axis):
+        return jnp.repeat(x, k, axis=axis)
+
+    cache = bert_mod.DecodeCache(
+        self_k=tile(cache.self_k, 1), self_v=tile(cache.self_v, 1),
+        cross_k=tile(cache.cross_k, 1), cross_v=tile(cache.cross_v, 1),
+    )
+    enc_mask_flat = tile(encoder_mask, 0)
+
+    # ---- state ----
+    seq = jnp.pad(
+        prompt_ids[:, None, :].repeat(k, axis=1),
+        ((0, 0), (0, 0), (0, max_new)),
+        constant_values=gen_cfg.pad_token_id,
+    )
+    running_scores = jnp.full((b, k), NEG, jnp.float32).at[:, 0].set(0.0)
+    fin_seq = seq
+    fin_scores = jnp.full((b, k), NEG, jnp.float32)
+    is_fin = jnp.zeros((b, k), bool)
+    early_unsat = jnp.ones((b, 1), bool)
+    top_k_mask = jnp.arange(keep) < k  # only top-K candidates may finalise
+
+    cols = jnp.arange(t_total)
+
+    def select_and_update(log_probs_flat, state):
+        """One beam step given per-beam next-token log-probs [B*K, V]."""
+        seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur = state
+        log_probs = log_probs_flat.reshape(b, k, vocab) + running_scores[:, :, None]
+        flat = log_probs.reshape(b, k * vocab)
+        topk_log_probs, topk_idx = jax.lax.top_k(flat, keep)
+        beam_idx = topk_idx // vocab
+        tok = (topk_idx % vocab).astype(seq.dtype)
+        topk_seq = _gather_beams(seq, beam_idx)
+        topk_seq = jax.lax.dynamic_update_slice(topk_seq, tok[:, :, None], (0, 0, cur))
+
+        # stopping criteria per candidate: EOS or max length reached
+        hits = (tok == gen_cfg.eos_token_id) | (cur + 1 >= t_total)
+
+        # finalisation (HF _update_finished_beams)
+        gen_len = (cur + 1 - p_len).astype(jnp.float32)
+        lp_scores = topk_log_probs / (gen_len ** penalty)
+        can_finalise = hits & top_k_mask[None, :]
+        lp_scores = lp_scores + jnp.where(can_finalise, 0.0, NEG)
+        lp_scores = lp_scores + jnp.where(early_unsat, 0.0, NEG)
+        merged_seq = jnp.concatenate([fin_seq, topk_seq], axis=1)
+        merged_scores = jnp.concatenate([fin_scores, lp_scores], axis=1)
+        merged_fin = jnp.concatenate([is_fin, can_finalise], axis=1)
+        best = jax.lax.top_k(merged_scores, k)[1]
+        fin_seq = _gather_beams(merged_seq, best)
+        fin_scores = _gather_beams(merged_scores, best)
+        is_fin = _gather_beams(merged_fin, best)
+
+        # next running beams (finished candidates demoted)
+        running_log_probs = topk_log_probs + hits.astype(jnp.float32) * NEG
+        nxt = jax.lax.top_k(running_log_probs, k)[1]
+        seq = _gather_beams(topk_seq, nxt)
+        running_scores = _gather_beams(running_log_probs, nxt)
+        sel_beam = _gather_beams(beam_idx, nxt)  # [B, K] source beam per new beam
+        flat_sel = (sel_beam + jnp.arange(b)[:, None] * k).reshape(-1)
+        cache = bert_mod.DecodeCache(
+            self_k=jnp.take(cache.self_k, flat_sel, axis=1),
+            self_v=jnp.take(cache.self_v, flat_sel, axis=1),
+            cross_k=cache.cross_k,
+            cross_v=cache.cross_v,
+        )
+
+        cur = cur + 1
+        # early-stop heuristic (early_stopping=False)
+        best_possible = running_scores[:, :1] / ((cur - p_len).astype(jnp.float32) ** penalty)
+        worst_fin = jnp.where(is_fin, jnp.min(fin_scores, axis=1, keepdims=True), NEG)
+        early_unsat = early_unsat & jnp.any(best_possible > worst_fin, axis=-1, keepdims=True)
+        all_hit = jnp.all(hits)
+        return (seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur), all_hit
+
+    # ---- first step from prefill logits ----
+    lp0 = jax.nn.log_softmax(prefill_logits[:, -1, :].astype(jnp.float32), axis=-1)
+    lp0 = tile(lp0, 0)
+    state0 = (seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, jnp.asarray(p_len, jnp.int32))
+    state, all_hit0 = select_and_update(lp0, state0)
+
+    def cond(carry):
+        state, all_hit = carry
+        seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur = state
+        return jnp.any(early_unsat) & ~all_hit & (cur < t_total)
+
+    def body(carry):
+        state, _ = carry
+        seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur = state
+        seq_flat = seq.reshape(b * k, t_total)
+        i = cur - 1
+        q_tok = jnp.take_along_axis(seq_flat, jnp.full((b * k, 1), 0, jnp.int32) + i, axis=1)[:, 0]
+        before = cols[None, :] < i
+        present = jnp.stack(
+            [jnp.any((seq_flat == sp) & before, axis=1) for sp in gen_cfg.special_token_ids],
+            axis=1,
+        )
+        sections = gen_cfg.sections()
+        ttype = jnp.full((b * k,), sections[0], jnp.int32)
+        for si in range(len(gen_cfg.special_token_ids)):
+            ttype = jnp.where(present[:, si], sections[si + 1], ttype)
+        upto = cols[None, :] <= i
+        if masked_pads:
+            key_mask = ((seq_flat != gen_cfg.mask_token_id) & upto).astype(jnp.int32)
+            pos = jnp.maximum(jnp.sum(key_mask, axis=1) - 1, 0)
+        else:
+            key_mask = upto.astype(jnp.int32) * jnp.ones((b * k, 1), jnp.int32)
+            pos = jnp.zeros((b * k,), jnp.int32) + i
+        logits, cache = bert_mod.bert_step(
+            params, dcfg, cache, q_tok, ttype, pos, i, key_mask, enc_mask_flat,
+            lora=config.lora,
+        )
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        new_state, all_hit = select_and_update(
+            lp, (seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur)
+        )
+        return (new_state, all_hit)
+
+    state, _ = jax.lax.while_loop(cond, body, (state, all_hit0))
+    seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur = state
+    return fin_seq[:, 0, :], fin_scores[:, 0]

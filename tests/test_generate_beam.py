@@ -1,0 +1,119 @@
+"""Beam-search (4 beams) token parity vs HF `generate` through the reference models."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from cxrmate_tpu.ckpt.hf_convert import convert_encoder_decoder
+from cxrmate_tpu.configs import EncoderDecoderConfig, LoraConfig
+from cxrmate_tpu.generate import GenerationConfig
+from cxrmate_tpu.generate.beam import beam_search
+from cxrmate_tpu.models import encoder_decoder as ed
+from tests.oracles import (
+    build_reference_model,
+    small_bert_cfg_dataclass,
+    small_cvt_cfg_dataclass,
+)
+
+BOS, EOS, SEP, PAD = 1, 2, 3, 4
+PMT_SEP = 90
+
+
+def _my_config(variant):
+    return EncoderDecoderConfig(
+        encoder=small_cvt_cfg_dataclass(projection_size=32),
+        decoder=small_bert_cfg_dataclass(vocab_size=97, cross_dim=32),
+        variant=variant,
+        lora=LoraConfig() if variant == "longitudinal" else None,
+        image_size=64,
+    )
+
+
+def _pad_to(a, width, fill):
+    out = np.full((a.shape[0], width), fill, dtype=a.dtype)
+    out[:, : a.shape[1]] = a
+    return out
+
+
+@pytest.mark.parametrize("variant", ["single", "multi"])
+def test_beam_parity_single_multi(variant):
+    ref = build_reference_model(variant, vocab_size=97, seed=7)
+    cfg = _my_config(variant)
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(3)
+    b = 2
+    if variant == "single":
+        pixels = rng.randn(b, 3, 64, 64).astype(np.float32)
+    else:
+        pixels = rng.randn(b, 2, 3, 64, 64).astype(np.float32)
+        pixels[0, 1] = 0.0
+    max_length = 14
+    with torch.no_grad():
+        expected = ref.generate(
+            pixel_values=torch.from_numpy(pixels),
+            special_token_ids=[SEP],
+            max_length=max_length,
+            bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+            num_beams=4, return_dict_in_generate=True, use_cache=True,
+        )["sequences"].numpy()
+
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pixels), cfg)
+    if variant == "single":
+        enc_mask = jnp.ones_like(enc_mask)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=max_length - 1,
+        bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        special_token_ids=(SEP,), num_beams=4,
+    )
+    prompt = jnp.full((b, 1), BOS, jnp.int32)
+    got, _ = beam_search(
+        variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt, jnp.ones((b, 1), jnp.int32)
+    )
+    got = np.asarray(got)
+    np.testing.assert_array_equal(got, _pad_to(expected, got.shape[1], PAD))
+
+
+def test_beam_parity_longitudinal():
+    ref = build_reference_model("longitudinal", vocab_size=97, seed=9)
+    cfg = _my_config("longitudinal")
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(4)
+    b = 2
+    pixels = rng.randn(b, 2, 3, 64, 64).astype(np.float32)
+    pixels[1, 1] = 0.0
+    prompt = np.full((b, 6), PAD, dtype=np.int64)
+    prompt[0, :4] = [91, 30, PMT_SEP, BOS]
+    prompt[1, :6] = [91, 31, 32, PMT_SEP, 41, BOS]
+    decoder_max_len = 10
+    max_length = decoder_max_len + prompt.shape[1]
+    specials = [PMT_SEP, BOS, SEP]
+    with torch.no_grad():
+        out = ref.generate(
+            pixel_values=torch.from_numpy(pixels),
+            decoder_input_ids=torch.from_numpy(prompt),
+            special_token_ids=specials,
+            mask_token_id=PAD,
+            max_length=max_length,
+            bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+            num_beams=4, return_dict_in_generate=True, use_cache=True,
+        )["sequences"].numpy()
+    assert (out[:, 0] == BOS).all()
+    expected = out[:, 1:]
+
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pixels), cfg)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=decoder_max_len - 1,
+        bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD, mask_token_id=PAD,
+        special_token_ids=tuple(specials), token_type_sections=(0, 1, 0, 1),
+        num_beams=4,
+    )
+    prompt_j = jnp.asarray(prompt.astype(np.int32))
+    got, _ = beam_search(
+        variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt_j,
+        (prompt_j != PAD).astype(jnp.int32),
+    )
+    got = np.asarray(got)
+    np.testing.assert_array_equal(got, _pad_to(expected, got.shape[1], PAD))
