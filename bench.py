@@ -1,0 +1,154 @@
+"""Benchmark: end-to-end study report generation throughput on one chip.
+
+Flagship path (the reference's test-time configuration, multi-image variant):
+CvT-21@384 encode of a 2-image study + greedy decode of a 256-token report with the
+static-KV-cache while_loop, bfloat16.
+
+Prints ONE JSON line:
+  {"metric": "studies/sec/chip (encode + 256-token greedy decode)",
+   "value": ..., "unit": "studies/sec", "vs_baseline": ...}
+
+vs_baseline = TPU studies/sec ÷ single-process CPU studies/sec (the reference's
+torch pipeline is CPU/GPU-bound per study; the driver's north star is ≥20× the CPU
+baseline). The CPU baseline is measured once on this machine with a trimmed decode
+(extrapolated to 256 steps) and cached in .bench_cpu_baseline.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 16
+N_IMAGES = 2
+DECODE_TOKENS = 255  # + BOS = 256 total, matching decoder_max_len
+CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
+
+
+def build(config, rng_seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.models import bert as bert_mod
+    from cxrmate_tpu.models.cvt import init_cvt_variables
+    from cxrmate_tpu.utils.precision import cast_floats
+
+    enc = init_cvt_variables(jax.random.PRNGKey(0), config.encoder)
+    dec = bert_mod.init_bert_params(jax.random.PRNGKey(1), config.decoder)
+    variables = cast_floats(
+        {"params": {"encoder": enc["params"], "decoder": dec}, "batch_stats": enc["batch_stats"]},
+        jnp.bfloat16,
+    )
+    return variables
+
+
+def make_pipeline(config, variables, batch, decode_tokens):
+    import jax
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.generate import GenerationConfig, generate
+    from cxrmate_tpu.models import encoder_decoder as ed
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=decode_tokens,
+        bos_token_id=1, eos_token_id=2, pad_token_id=4,
+        special_token_ids=(3,),
+    )
+
+    @jax.jit
+    def pipeline(variables, pixels):
+        enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
+        prompt = jnp.full((pixels.shape[0], 1), gen_cfg.bos_token_id, jnp.int32)
+        seqs = generate(
+            variables, config, gen_cfg, enc_hidden, enc_mask, prompt,
+            jnp.ones_like(prompt),
+        )
+        return seqs
+
+    return pipeline
+
+
+def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.configs import multi_tf_config
+
+    config = multi_tf_config(vocab_size=30000)
+    variables = build(config)
+    pixels = jnp.asarray(
+        np.random.RandomState(0).randn(batch, N_IMAGES, 3, 384, 384), jnp.bfloat16
+    )
+    pipeline = make_pipeline(config, variables, batch, decode_tokens)
+    out = pipeline(variables, pixels)
+    out.block_until_ready()  # compile
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = pipeline(variables, pixels)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return batch / dt, dt
+
+
+def cpu_baseline():
+    """Measure (or load) the CPU studies/sec baseline: one study, trimmed decode
+    extrapolated to the full 256 steps."""
+    if os.path.exists(CACHE_FILE):
+        with open(CACHE_FILE) as f:
+            return json.load(f)["studies_per_sec"]
+    import subprocess
+
+    code = (
+        "import json,sys;sys.path.insert(0,%r);import bench;"
+        "sps_short,dt8=bench.run(platform='cpu',batch=1,decode_tokens=8,iters=1);"
+        "sps_tiny,dt1=bench.run(platform='cpu',batch=1,decode_tokens=1,iters=1);"
+        "step=(dt8-dt1)/7.0; full=dt1+step*255.0;"
+        "print(json.dumps({'studies_per_sec':1.0/full}))"
+        % os.path.dirname(os.path.abspath(__file__))
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    data = json.loads(line)
+    with open(CACHE_FILE, "w") as f:
+        json.dump(data, f)
+    return data["studies_per_sec"]
+
+
+def main():
+    sps, dt = run()
+    p50 = dt / BATCH
+    try:
+        cpu_sps = cpu_baseline()
+        vs = sps / cpu_sps
+    except Exception as e:  # noqa: BLE001 - baseline is best-effort
+        print(f"cpu baseline failed: {e}", file=sys.stderr)
+        vs = None
+    print(
+        f"batch={BATCH} studies, {N_IMAGES} images/study, {DECODE_TOKENS + 1}-token reports; "
+        f"batch latency {dt * 1e3:.1f} ms ({p50 * 1e3:.2f} ms/study)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "studies/sec/chip (encode + 256-token greedy decode)",
+                "value": round(sps, 3),
+                "unit": "studies/sec",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

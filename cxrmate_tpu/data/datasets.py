@@ -1,0 +1,199 @@
+"""Datasets: per-DICOM, per-study, and longitudinal previous-report views.
+
+Framework-free ports of the reference's dataset classes
+(`/root/reference/data/dicom_id.py`, `data/study_id.py`, `data/prompt.py`):
+plain-Python indexable objects returning numpy batches, consumed by the loader in
+``pipeline.py``. The longitudinal view reproduces the reference's subject-history
+lookup (chronological previous study by StudyDate/StudyTime), the three excluded
+ambiguous subjects, and the generated-report history used by gen-prompt
+training/testing."""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from cxrmate_tpu.data.index import mimic_cxr_image_path
+
+# Subjects with two studies at identical times; these and all later studies are
+# dropped (data/prompt.py:33-61).
+_AMBIGUOUS = [(15964158, 21800331), (10661934, 21490809), (16973455, 21440406)]
+
+
+class DicomDataset:
+    """Per-DICOM examples (single variant)."""
+
+    def __init__(self, df: pd.DataFrame, dataset_dir: str, load_image: Callable):
+        self.df = df
+        self.dataset_dir = dataset_dir
+        self.load_image = load_image
+        self.examples = self.df["dicom_id"].drop_duplicates().tolist()
+
+    def __len__(self):
+        return len(self.examples)
+
+    def __getitem__(self, index) -> Dict:
+        rows = self.df.loc[self.df["dicom_id"] == self.examples[index]]
+        r = rows.iloc[0]
+        image = self.load_image(
+            mimic_cxr_image_path(self.dataset_dir, r["subject_id"], r["study_id"], r["dicom_id"])
+        )
+        return {
+            "images": image[None],  # [1, 3, H, W]
+            "findings": r["findings"] if r["findings"] == r["findings"] else None,
+            "impression": r["impression"] if r["impression"] == r["impression"] else None,
+            "dicom_ids": r["dicom_id"],
+            "study_ids": r["study_id"],
+        }
+
+
+class StudyDataset(DicomDataset):
+    """Per-study examples: stacked image arrays [N, 3, H, W] (multi variant)."""
+
+    def __init__(self, df, dataset_dir, load_image):
+        super().__init__(df, dataset_dir, load_image)
+        self.examples = self.df["study_id"].drop_duplicates().tolist()
+
+    def __getitem__(self, index) -> Dict:
+        rows = self.df.loc[self.df["study_id"] == self.examples[index]]
+        r = rows.iloc[0]
+        images = np.stack(
+            [
+                self.load_image(
+                    mimic_cxr_image_path(self.dataset_dir, row["subject_id"], row["study_id"], row["dicom_id"])
+                )
+                for _, row in rows.iterrows()
+            ],
+            axis=0,
+        )
+        return {
+            "images": images,
+            "findings": r["findings"] if r["findings"] == r["findings"] else None,
+            "impression": r["impression"] if r["impression"] == r["impression"] else None,
+            "dicom_ids": r["dicom_id"],
+            "study_ids": r["study_id"],
+        }
+
+
+class PreviousReportDataset(StudyDataset):
+    """Study examples with the previous report of the same subject as prompt
+    (data/prompt.py:12-140)."""
+
+    def __init__(
+        self,
+        df: pd.DataFrame,
+        history: pd.DataFrame,
+        dataset_dir: str,
+        load_image: Callable,
+        use_generated: bool = False,
+        scst_generated: bool = False,
+        mbatch_size: Optional[int] = None,
+        world_size: int = 1,
+    ):
+        super().__init__(df, dataset_dir, load_image)
+        self.history = history
+        self.use_generated = use_generated
+        self.scst_generated = scst_generated
+        self.mbatch_size = mbatch_size
+        self.world_size = world_size
+
+        for subject, date in _AMBIGUOUS:
+            sub = self.df.loc[self.df["subject_id"] == subject].sort_values(["StudyDate", "StudyTime"])
+            excluded = sub[sub.StudyDate >= date].study_id.tolist()
+            self.df = self.df[~self.df.study_id.isin(excluded)]
+
+        self.df = self.df.sort_values(["subject_id", "StudyDate", "StudyTime"], ascending=True)
+        self.examples = self.df["study_id"].drop_duplicates().tolist()
+
+        if self.use_generated:
+            self.history = self.history.copy()
+            self.history["generated_findings"] = np.nan
+            self.history["generated_impression"] = np.nan
+            self.allocate_subjects_to_rank(shuffle_subjects=False)
+        if self.scst_generated:
+            self.allocate_subjects_to_rank(seed=0)
+
+    def record_generated(self, study_id, findings: str, impression: str) -> None:
+        """Write generated sections into the history so later studies of the same
+        subject are prompted with them (gen_prompt.py:137-139)."""
+        sel = self.history.study_id == study_id
+        self.history.loc[sel, "generated_findings"] = findings
+        self.history.loc[sel, "generated_impression"] = impression
+
+    def reset_generated(self) -> None:
+        self.history["generated_findings"] = np.nan
+        self.history["generated_impression"] = np.nan
+
+    def __getitem__(self, index) -> Dict:
+        out = StudyDataset.__getitem__(self, index)
+        example = self.df.loc[self.df["study_id"] == self.examples[index]]
+        subject_id = example.iloc[0]["subject_id"]
+        study_date = example.iloc[0]["StudyDate"]
+        study_time = example.iloc[0]["StudyTime"]
+
+        sub = self.history.loc[self.history["subject_id"] == subject_id].sort_values(
+            ["StudyDate", "StudyTime"]
+        )
+        sub = sub[sub["StudyDate"] <= study_date]
+        sub = sub[(sub["StudyTime"] <= study_time) | (sub["StudyDate"] != study_date)]
+        considered = list(OrderedDict.fromkeys(sub.study_id.to_list()))[-2:]
+
+        out["previous_findings"] = None
+        out["previous_impression"] = None
+        if len(considered) == 2 and (considered[0] == self.df.study_id).any():
+            prev = sub.loc[sub.study_id == considered[0]].iloc[0]
+            if self.use_generated:
+                pf, pi = prev["generated_findings"], prev["generated_impression"]
+                assert pf == pf and pi == pi, f"generated prompt missing for study {considered[0]}"
+                out["previous_findings"], out["previous_impression"] = pf, pi
+            else:
+                pf, pi = prev["findings"], prev["impression"]
+                out["previous_findings"] = pf if pf == pf else None
+                out["previous_impression"] = pi if pi == pi else None
+        return out
+
+    def allocate_subjects_to_rank(self, seed: Optional[int] = None, shuffle_subjects: bool = True):
+        """Greedy longest-first bin-packing of subjects onto world_size × mbatch
+        lanes, oversampled to divisibility and interleaved so one subject's studies
+        recur every mbatch·world steps (data/prompt.py:142-213)."""
+        import itertools
+        import random
+
+        assert self.use_generated
+        if shuffle_subjects:
+            assert self.scst_generated
+        world_size = self.world_size
+        lanes = world_size * self.mbatch_size
+
+        subject_lists = (
+            self.df.drop_duplicates(subset=["study_id"])
+            .groupby("subject_id")["study_id"]
+            .apply(list)
+            .tolist()
+        )
+        subject_lists.sort(key=len, reverse=True)
+
+        buckets: List[List[List]] = [[] for _ in range(lanes)]
+        totals = [0] * lanes
+        for lst in subject_lists:
+            idx = int(np.argmin(totals))
+            buckets[idx].append(lst)
+            totals[idx] += len(lst)
+
+        def flat_count():
+            return len([s for lane in buckets for subj in lane for s in subj])
+
+        while flat_count() % lanes != 0:
+            buckets[int(np.argmin(totals))].append(subject_lists[-1])
+
+        if shuffle_subjects:
+            random.seed(seed)
+            lanes_flat = [list(itertools.chain(*random.sample(l, k=len(l)))) for l in buckets]
+        else:
+            lanes_flat = [list(itertools.chain(*l)) for l in buckets]
+
+        self.examples = [s for group in zip(*lanes_flat) for s in group]
+        assert len(set(self.examples)) == self.df.study_id.nunique()

@@ -1,0 +1,124 @@
+"""Image loading + preprocessing.
+
+The reference's transforms (`/root/reference/modules/lightning_modules/single.py:230-262`)
+operate on PIL images: Resize(shortest_edge=384, bilinear) → Center/RandomCrop(384,
+pad_if_needed) → [RandomRotation(±5°)] → ToTensor → Normalize(ImageNet mean/std).
+The host path here uses PIL for the resample-exactness the output-parity target
+requires; the device path does the crop/normalize math on-TPU from uint8 arrays
+(fused by XLA into the encoder's first conv) and uses ``jax.image.resize`` — fast
+but not bit-identical to PIL, so it is opt-in."""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def load_image(path: str, colour_space: str = "RGB"):
+    img = Image.open(path)
+    return img.convert(colour_space)
+
+
+def resize_shortest_edge(img, size: int):
+    w, h = img.size
+    if w <= h:
+        nw, nh = size, int(round(size * h / w))
+    else:
+        nw, nh = int(round(size * w / h)), size
+    if (nw, nh) == (w, h):
+        return img
+    return img.resize((nw, nh), Image.BILINEAR)
+
+
+def center_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    if h < size or w < size:  # pad_if_needed semantics
+        pad_h, pad_w = max(size - h, 0), max(size - w, 0)
+        arr = np.pad(arr, ((pad_h // 2, pad_h - pad_h // 2), (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+        h, w = arr.shape[:2]
+    top = int(round((h - size) / 2.0))
+    left = int(round((w - size) / 2.0))
+    return arr[top : top + size, left : left + size]
+
+
+def random_crop(arr: np.ndarray, size: int, rng: random.Random) -> np.ndarray:
+    h, w = arr.shape[:2]
+    if h < size or w < size:
+        pad_h, pad_w = max(size - h, 0), max(size - w, 0)
+        arr = np.pad(arr, ((pad_h // 2, pad_h - pad_h // 2), (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+        h, w = arr.shape[:2]
+    top = rng.randint(0, h - size)
+    left = rng.randint(0, w - size)
+    return arr[top : top + size, left : left + size]
+
+
+def normalize_chw(arr_hwc_u8: np.ndarray) -> np.ndarray:
+    """uint8 HWC → normalized float32 CHW (ToTensor + Normalize)."""
+    x = arr_hwc_u8.astype(np.float32) / 255.0
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    return np.transpose(x, (2, 0, 1))
+
+
+def eval_transform(img, size: int = 384) -> np.ndarray:
+    img = resize_shortest_edge(img, size)
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    arr = center_crop(arr, size)
+    return normalize_chw(arr)
+
+
+def train_transform(img, size: int = 384, rng: Optional[random.Random] = None,
+                    rotation_degrees: float = 5.0) -> np.ndarray:
+    rng = rng or random.Random()
+    img = resize_shortest_edge(img, size)
+    angle = rng.uniform(-rotation_degrees, rotation_degrees)
+    img = img.rotate(-angle, resample=Image.NEAREST, expand=False, fillcolor=0)
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    arr = random_crop(arr, size, rng)
+    return normalize_chw(arr)
+
+
+def make_eval_loader_transform(size: int = 384):
+    return lambda path: eval_transform(load_image(path), size)
+
+
+def make_train_loader_transform(size: int = 384, seed: int = 0):
+    rng = random.Random(seed)
+    return lambda path: train_transform(load_image(path), size, rng)
+
+
+# ------------------------------------------------------------- device-side path
+def device_preprocess(batch_u8, size: int = 384):
+    """[B, H, W, 3] uint8 on device → [B, 3, size, size] normalized float32.
+
+    Resize + crop + normalize in one jitted call; XLA fuses the arithmetic into the
+    first conv. Approximate (not PIL-bit-exact) — use for training/throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(x):
+        b, h, w, c = x.shape
+        scale = size / min(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        y = jax.image.resize(x.astype(jnp.float32), (b, nh, nw, c), method="bilinear", antialias=True)
+        top, left = (nh - size) // 2, (nw - size) // 2
+        y = jax.lax.dynamic_slice(y, (0, top, left, 0), (b, size, size, c))
+        y = y / 255.0
+        y = (y - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        return jnp.transpose(y, (0, 3, 1, 2))
+
+    return fn(batch_u8)

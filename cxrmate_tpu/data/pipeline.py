@@ -1,0 +1,76 @@
+"""Host-side batching + device feed.
+
+Replicates the reference's collate behaviour (stack for single, zero-pad variable
+image counts for multi — `modules/lightning_modules/multi.py:155-164`: padding
+images are all-zero, which is exactly what the encoder's mask convention detects),
+with background-thread prefetch overlapping JPEG decode with device compute."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def collate(examples: List[Dict], max_images: Optional[int] = None) -> Dict:
+    """Batch example dicts; image stacks are zero-padded to the max (or given)
+    image count so shapes stay static for XLA."""
+    batch = {k: [e[k] for e in examples] for k in examples[0]}
+    images = batch["images"]
+    n_max = max_images or max(im.shape[0] for im in images)
+    shape = (len(images), n_max) + images[0].shape[1:]
+    out = np.zeros(shape, dtype=images[0].dtype)
+    for i, im in enumerate(images):
+        out[i, : im.shape[0]] = im
+    batch["images"] = out
+    return batch
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    max_images: Optional[int] = None,
+    drop_last: bool = False,
+    rank: int = 0,
+    world_size: int = 1,
+) -> Iterator[Dict]:
+    """Sequential (or shuffled) batches; with world_size > 1, rank r takes strided
+    samples like a DistributedSampler(shuffle=False)."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    order = order[rank::world_size]
+    for start in range(0, len(order), batch_size):
+        idx = order[start : start + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return
+        yield collate([dataset[int(i)] for i in idx], max_images)
+
+
+class Prefetcher:
+    """Background-thread prefetch of an iterator (the reference uses DataLoader
+    workers with prefetch_factor=5, single.py:376-387)."""
+
+    def __init__(self, iterator: Iterator, depth: int = 5):
+        self.queue: queue.Queue = queue.Queue(maxsize=depth)
+        self._done = object()
+        self.thread = threading.Thread(target=self._run, args=(iterator,), daemon=True)
+        self.thread.start()
+
+    def _run(self, iterator):
+        try:
+            for item in iterator:
+                self.queue.put(item)
+        finally:
+            self.queue.put(self._done)
+
+    def __iter__(self):
+        while True:
+            item = self.queue.get()
+            if item is self._done:
+                return
+            yield item

@@ -125,8 +125,10 @@ def _drop_path(x, rate, train, rng):
 
 def _stage_drop_path_rate(config: CvtConfig, s: int) -> float:
     # HF quirk: linspace over depth, indexed by the *stage* number.
+    import numpy as np
+
     depth = config.depth[s]
-    sched = jnp.linspace(0, config.drop_path_rate[s], depth)
+    sched = np.linspace(0, config.drop_path_rate[s], depth)
     return float(sched[s]) if s < depth else float(sched[-1])
 
 

@@ -15,5 +15,8 @@ os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU explicitly so
+# tests run on the virtual 8-device host mesh, not through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

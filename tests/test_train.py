@@ -1,0 +1,170 @@
+"""Training-path tests: TF loss parity with torch CE, train-step sanity, LoRA/SCST
+freezing, grad accumulation, and dp×tp sharding on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cxrmate_tpu.configs import BertDecoderConfig, CvtConfig, EncoderDecoderConfig
+from cxrmate_tpu.models import bert as bert_mod
+from cxrmate_tpu.models.cvt import init_cvt_variables
+from cxrmate_tpu.train import optim
+from cxrmate_tpu.train.tf_trainer import (
+    create_train_state,
+    cross_entropy_ignore_pad,
+    make_train_step,
+)
+
+
+def _tiny_config(variant="multi", lora=None):
+    return EncoderDecoderConfig(
+        encoder=CvtConfig(
+            embed_dim=(8, 12, 16), num_heads=(1, 2, 2), depth=(1, 1, 3),
+            drop_path_rate=(0.0, 0.0, 0.0), projection_size=16,
+        ),
+        decoder=BertDecoderConfig(
+            vocab_size=64, hidden_size=16, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=64, cross_attention_hidden_size=16,
+        ),
+        variant=variant,
+        lora=lora,
+        image_size=32,
+    )
+
+
+def _variables(config, lora=None):
+    enc = init_cvt_variables(jax.random.PRNGKey(0), config.encoder)
+    dec = bert_mod.init_bert_params(jax.random.PRNGKey(1), config.decoder, lora=lora)
+    return {
+        "params": {"encoder": enc["params"], "decoder": dec},
+        "batch_stats": enc["batch_stats"],
+    }
+
+
+def _batch(config, b=2, n=2, l=10, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "pixel_values": jnp.asarray(rng.randn(b, n, 3, 32, 32), jnp.float32),
+        "decoder_input_ids": jnp.asarray(rng.randint(6, 64, size=(b, l)), jnp.int32),
+        "decoder_attention_mask": jnp.ones((b, l), jnp.int32),
+        "decoder_token_type_ids": jnp.zeros((b, l), jnp.int32),
+        "label_ids": jnp.asarray(
+            np.where(rng.rand(b, l) < 0.2, 4, rng.randint(6, 64, size=(b, l))), jnp.int32
+        ),
+    }
+
+
+def test_ce_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    logits = rng.randn(3, 7, 19).astype(np.float32)
+    labels = rng.randint(0, 19, size=(3, 7))
+    labels[0, :3] = 4
+    expected = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits).permute(0, 2, 1), torch.from_numpy(labels), ignore_index=4
+    ).item()
+    got = float(cross_entropy_ignore_pad(jnp.asarray(logits), jnp.asarray(labels), 4))
+    assert abs(got - expected) < 1e-5
+
+
+def test_train_step_reduces_loss():
+    config = _tiny_config()
+    variables = _variables(config)
+    tx = optim.adamw(lr=1e-3)
+    state = create_train_state(variables, tx)
+    step = make_train_step(config, tx, pad_id=4)
+    batch = _batch(config)
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for i in range(8):
+        rng, k = jax.random.split(rng)
+        state, loss = step(state, batch, k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_batch_stats_update_in_train_mode():
+    config = _tiny_config()
+    variables = _variables(config)
+    tx = optim.adamw(lr=1e-3)
+    state = create_train_state(variables, tx)
+    step = make_train_step(config, tx, pad_id=4)
+    before = np.asarray(state.batch_stats["stages"][0]["layers"][0]["bn_q"]["mean"])
+    state, _ = step(state, _batch(config), jax.random.PRNGKey(0))
+    after = np.asarray(state.batch_stats["stages"][0]["layers"][0]["bn_q"]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_lora_only_mask_freezes_base():
+    from cxrmate_tpu.configs import LoraConfig
+
+    config = _tiny_config(variant="longitudinal", lora=LoraConfig())
+    variables = _variables(config, lora=config.lora)
+    mask = optim.mask_for_stage(variables["params"], "gt_prompt")
+    tx = optim.adamw(lr=1e-2, trainable_mask=mask)
+    state = create_train_state(variables, tx)
+    step = make_train_step(config, tx, trainable_mask=mask, pad_id=4)
+    batch = _batch(config)
+    batch["decoder_position_ids"] = jnp.maximum(
+        jnp.cumsum(batch["decoder_attention_mask"], axis=1) - 1, 0
+    )
+    w_before = np.asarray(state.params["decoder"]["layers"][0]["self"]["q"]["w"])
+    la_before = np.asarray(state.params["decoder"]["layers"][0]["self"]["q"]["lora_a"])
+    enc_before = np.asarray(state.params["encoder"]["projection_head"]["proj"]["w"])
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["decoder"]["layers"][0]["self"]["q"]["w"]), w_before
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.params["encoder"]["projection_head"]["proj"]["w"]), enc_before
+    )
+    assert not np.allclose(
+        np.asarray(state.params["decoder"]["layers"][0]["self"]["q"]["lora_a"]), la_before
+    )
+
+
+def test_grad_accumulation_updates_every_k():
+    config = _tiny_config()
+    variables = _variables(config)
+    tx = optim.adamw(lr=1e-3, accumulate_steps=2)
+    state = create_train_state(variables, tx)
+    step = make_train_step(config, tx, pad_id=4)
+    p0 = np.asarray(state.params["decoder"]["embeddings"]["word"])
+    state, _ = step(state, _batch(config), jax.random.PRNGKey(0))
+    p1 = np.asarray(state.params["decoder"]["embeddings"]["word"])
+    np.testing.assert_array_equal(p0, p1)  # first micro-step: accumulate only
+    state, _ = step(state, _batch(config, seed=1), jax.random.PRNGKey(1))
+    p2 = np.asarray(state.params["decoder"]["embeddings"]["word"])
+    assert not np.allclose(p1, p2)  # second micro-step applies the update
+
+
+def test_sharded_train_step_matches_single_device():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cxrmate_tpu.parallel.mesh import make_mesh, variables_specs
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    config = _tiny_config()
+    variables = _variables(config)
+    tx = optim.adamw(lr=1e-3)
+    batch = _batch(config, b=4)
+
+    state = create_train_state(jax.tree_util.tree_map(jnp.copy, variables), tx)
+    step = make_train_step(config, tx, pad_id=4)
+    _, loss_single = step(state, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(data=2, model=4)
+    specs = variables_specs(variables, tp=True)
+    sharded = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), variables, specs
+    )
+    state_s = create_train_state(sharded, tx)
+    batch_s = {k: jax.device_put(v, NamedSharding(mesh, P("data"))) for k, v in batch.items()}
+    with mesh:
+        _, loss_sharded = step(state_s, batch_s, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=2e-5)
