@@ -1,0 +1,92 @@
+"""PTB tokenisation for captioning metrics.
+
+The reference pipes reports through Stanford's PTBTokenizer jar with
+``-preserveLines -lowerCase`` and then drops punctuation tokens
+(`pycocoevalcap/tokenizer/ptbtokenizer.py`). This is a pure-Python reimplementation
+of the same Treebank tokenisation rules (the public PTB sed-script regexes, as also
+ported by nltk's TreebankWordTokenizer) followed by the identical punctuation-token
+filter — no Java required."""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+# Tokens pycocoevalcap removes after tokenisation.
+PUNCTUATIONS = {
+    "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";",
+}
+
+_RULES_1 = [
+    (re.compile(r"^\""), r"`` "),
+    (re.compile(r"(``)"), r" \1 "),
+    (re.compile(r'([ (\[{<])"'), r"\1 `` "),
+]
+_PUNCT = [
+    (re.compile(r"([:,])([^\d])"), r" \1 \2"),
+    (re.compile(r"([:,])$"), r" \1 "),
+    (re.compile(r"\.\.\."), r" ... "),
+    (re.compile(r"[;@#$%&]"), r" \g<0> "),
+    (re.compile(r'([^\.])(\.)([\]\)}>"\']*)\s*$'), r"\1 \2\3 "),
+    (re.compile(r"[?!]"), r" \g<0> "),
+    (re.compile(r"([^'])' "), r"\1 ' "),
+]
+_BRACKETS = [
+    (re.compile(r"[\]\[\(\)\{\}<>]"), r" \g<0> "),
+    (re.compile(r"\("), "-LRB-"),
+    (re.compile(r"\)"), "-RRB-"),
+    (re.compile(r"\["), "-LSB-"),
+    (re.compile(r"\]"), "-RSB-"),
+    (re.compile(r"\{"), "-LCB-"),
+    (re.compile(r"\}"), "-RCB-"),
+    (re.compile(r"--"), r" -- "),
+]
+_ENDQ = [
+    (re.compile(r'"'), " '' "),
+    (re.compile(r"(\S)('')"), r"\1 \2 "),
+]
+_CONTRACTIONS = [
+    (re.compile(r"([^' ])('[sS]|'[mM]|'[dD]|') "), r"\1 \2 "),
+    (re.compile(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "), r"\1 \2 "),
+]
+_CLITICS = [
+    (re.compile(r"(?i)\b(can)(not)\b"), r"\1 \2"),
+    (re.compile(r"(?i)\b(d)('ye)\b"), r"\1 \2"),
+    (re.compile(r"(?i)\b(gim)(me)\b"), r"\1 \2"),
+    (re.compile(r"(?i)\b(gon)(na)\b"), r"\1 \2"),
+    (re.compile(r"(?i)\b(got)(ta)\b"), r"\1 \2"),
+    (re.compile(r"(?i)\b(lem)(me)\b"), r"\1 \2"),
+    (re.compile(r"(?i)\b(more)('n)\b"), r"\1 \2"),
+    (re.compile(r"(?i)\b(wan)(na)(?=\s)"), r"\1 \2"),
+]
+
+
+def ptb_tokenize_line(text: str, lowercase: bool = True) -> List[str]:
+    text = str(text)
+    for rx, sub in _RULES_1:
+        text = rx.sub(sub, text)
+    for rx, sub in _PUNCT:
+        text = rx.sub(sub, text)
+    for rx, sub in _BRACKETS:
+        text = rx.sub(sub, text)
+    text = f" {text} "
+    for rx, sub in _ENDQ:
+        text = rx.sub(sub, text)
+    for rx, sub in _CONTRACTIONS:
+        text = rx.sub(sub, text)
+    for rx, sub in _CLITICS:
+        text = rx.sub(sub, text)
+    tokens = text.split()
+    if lowercase:
+        tokens = [t.lower() for t in tokens]
+    return [t for t in tokens if t not in PUNCTUATIONS]
+
+
+def ptb_tokenize(captions: Dict) -> Dict:
+    """pycocoevalcap PTBTokenizer.tokenize(): {id: [{'caption': s}, ...]} →
+    {id: [tokenised-string, ...]}."""
+    return {
+        k: [" ".join(ptb_tokenize_line(d["caption"])) for d in v]
+        for k, v in captions.items()
+    }
