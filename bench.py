@@ -27,7 +27,7 @@ DECODE_TOKENS = 255  # + BOS = 256 total, matching decoder_max_len
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
 
 
-def build(config, rng_seed=0):
+def build(config, dtype=None, rng_seed=0):
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +39,7 @@ def build(config, rng_seed=0):
     dec = bert_mod.init_bert_params(jax.random.PRNGKey(1), config.decoder)
     variables = cast_floats(
         {"params": {"encoder": enc["params"], "decoder": dec}, "batch_stats": enc["batch_stats"]},
-        jnp.bfloat16,
+        dtype or jnp.bfloat16,
     )
     return variables
 
@@ -70,7 +70,7 @@ def make_pipeline(config, variables, batch, decode_tokens):
     return pipeline
 
 
-def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3):
+def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=None):
     import jax
 
     if platform:
@@ -80,9 +80,10 @@ def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3):
     from cxrmate_tpu.configs import multi_tf_config
 
     config = multi_tf_config(vocab_size=30000)
-    variables = build(config)
+    dtype = dtype or jnp.bfloat16
+    variables = build(config, dtype=dtype)
     pixels = jnp.asarray(
-        np.random.RandomState(0).randn(batch, N_IMAGES, 3, 384, 384), jnp.bfloat16
+        np.random.RandomState(0).randn(batch, N_IMAGES, 3, 384, 384), dtype
     )
     pipeline = make_pipeline(config, variables, batch, decode_tokens)
     # NOTE: synchronise via host transfer — on the axon backend block_until_ready
@@ -107,12 +108,13 @@ def cpu_baseline():
             return json.load(f)["studies_per_sec"]
     import subprocess
 
+    # full single-study pipeline on CPU, fp32 (the dtype a CPU deployment of the
+    # reference would use), measured once and cached
     code = (
-        "import json,sys;sys.path.insert(0,%r);import bench;"
-        "sps_short,dt8=bench.run(platform='cpu',batch=1,decode_tokens=8,iters=1);"
-        "sps_tiny,dt1=bench.run(platform='cpu',batch=1,decode_tokens=1,iters=1);"
-        "step=(dt8-dt1)/7.0; full=dt1+step*255.0;"
-        "print(json.dumps({'studies_per_sec':1.0/full}))"
+        "import json,sys,jax.numpy as jnp;sys.path.insert(0,%r);import bench;"
+        "sps,dt=bench.run(platform='cpu',batch=1,decode_tokens=bench.DECODE_TOKENS,"
+        "iters=1,dtype=jnp.float32);"
+        "print(json.dumps({'studies_per_sec':sps}))"
         % os.path.dirname(os.path.abspath(__file__))
     )
     out = subprocess.run(

@@ -1,0 +1,129 @@
+"""Orbax checkpointing + best-k selection.
+
+Replaces the reference's Lightning ModelCheckpoint (+ ``resume_from_ckpt_path`` /
+best-checkpoint resolution in `tools/stages.py:52-112`): checkpoints are saved per
+epoch under the trial directory, tracked by a monitored metric
+(``val_report_chexbert_f1_macro``, mode max in the reference configs), and the best
+checkpoint is resolvable for testing/warm starts."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+
+
+def _ckpt_dir(exp_dir_trial: str, tag: str) -> str:
+    return os.path.join(exp_dir_trial, "checkpoints", tag)
+
+
+def save_checkpoint(
+    exp_dir_trial: str,
+    state: Any,
+    epoch: int,
+    monitor_value: Optional[float] = None,
+    monitor: str = "val_report_chexbert_f1_macro",
+    keep_top_k: int = 1,
+    mode: str = "max",
+) -> str:
+    """Save ``state`` for ``epoch``; prune to the top-k by the monitored metric."""
+    import orbax.checkpoint as ocp
+
+    tag = f"epoch={epoch}"
+    if monitor_value is not None:
+        tag += f"-{monitor}={monitor_value:.6f}"
+    path = os.path.abspath(_ckpt_dir(exp_dir_trial, tag))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    index_path = os.path.join(exp_dir_trial, "checkpoints", "index.json")
+    index = {}
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+    index[tag] = {"epoch": epoch, "monitor": monitor, "value": monitor_value}
+    if monitor_value is not None and keep_top_k > 0:
+        scored = [(k, v) for k, v in index.items() if v.get("value") is not None]
+        reverse = mode == "max"
+        scored.sort(key=lambda kv: kv[1]["value"], reverse=reverse)
+        for k, _ in scored[keep_top_k:]:
+            victim = _ckpt_dir(exp_dir_trial, k)
+            if os.path.exists(victim):
+                import shutil
+
+                shutil.rmtree(victim)
+            index.pop(k, None)
+    with open(index_path, "w") as f:
+        json.dump(index, f, indent=1)
+    return path
+
+
+def best_checkpoint(exp_dir_trial: str, mode: str = "max") -> Optional[str]:
+    """Resolve the best checkpoint path by the monitored metric, mirroring
+    ``get_test_ckpt_path`` semantics (epoch=N-...metric=V in the name)."""
+    index_path = os.path.join(exp_dir_trial, "checkpoints", "index.json")
+    if not os.path.exists(index_path):
+        return None
+    with open(index_path) as f:
+        index = json.load(f)
+    scored = [(k, v) for k, v in index.items() if v.get("value") is not None]
+    if not scored:
+        scored = list(index.items())
+        if not scored:
+            return None
+        tag = max(scored, key=lambda kv: kv[1]["epoch"])[0]
+        return _ckpt_dir(exp_dir_trial, tag)
+    pick = (max if mode == "max" else min)(scored, key=lambda kv: kv[1]["value"])
+    return _ckpt_dir(exp_dir_trial, pick[0])
+
+
+def last_checkpoint(exp_dir_trial: str) -> Optional[str]:
+    index_path = os.path.join(exp_dir_trial, "checkpoints", "index.json")
+    if not os.path.exists(index_path):
+        return None
+    with open(index_path) as f:
+        index = json.load(f)
+    if not index:
+        return None
+    tag = max(index.items(), key=lambda kv: kv[1]["epoch"])[0]
+    return _ckpt_dir(exp_dir_trial, tag)
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore into the structure/shardings of ``target``."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=target)
+
+
+def load_torch_checkpoint(path: str) -> Dict:
+    """Load a torch .ckpt/.pth/.bin state dict (Lightning checkpoints keep it under
+    'state_dict'; CheXbert under 'model_state_dict')."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model_state_dict"):
+        if isinstance(blob, dict) and key in blob:
+            return blob[key]
+    return blob
+
+
+def load_hf_pretrained_dir(path: str) -> Dict:
+    """Load an HF checkpoint directory (pytorch_model.bin or model.safetensors)."""
+    bin_path = os.path.join(path, "pytorch_model.bin")
+    if os.path.exists(bin_path):
+        return load_torch_checkpoint(bin_path)
+    st_path = os.path.join(path, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(st_path, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    raise FileNotFoundError(f"no weights found under {path}")

@@ -1,0 +1,125 @@
+"""Config system: YAML with ``defaults:`` composition + CLI overrides.
+
+Mirrors the reference's dlhpcstarter behaviour (hydra-style ``defaults:`` lists
+composing onto a base YAML, e.g. `/root/reference/config/train/multi_tf.yaml:1-3`,
+flattened into a namespace whose keys parameterise the task)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+def load_config(path: str, _seen: Optional[set] = None) -> Dict[str, Any]:
+    """Load a YAML config, recursively composing its ``defaults:`` list. ``_self_``
+    marks where the file's own keys apply (later wins)."""
+    _seen = _seen or set()
+    path = os.path.abspath(path)
+    assert path not in _seen, f"config cycle at {path}"
+    _seen.add(path)
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    defaults: List[str] = raw.pop("defaults", ["_self_"])
+    if "_self_" not in defaults:
+        defaults = defaults + ["_self_"]
+    merged: Dict[str, Any] = {}
+    for item in defaults:
+        if item == "_self_":
+            merged.update(raw)
+        else:
+            base = os.path.join(os.path.dirname(path), f"{item}.yaml")
+            merged.update(load_config(base, _seen))
+    return merged
+
+
+def apply_overrides(config: Dict[str, Any], overrides: List[str]) -> Dict[str, Any]:
+    """key=value overrides (YAML-parsed values)."""
+    out = dict(config)
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        parsed = yaml.safe_load(val)
+        if isinstance(parsed, str):
+            # YAML 1.1 doesn't parse '1e-4' as a float; accept scientific notation
+            try:
+                parsed = float(parsed) if any(c in parsed for c in ".eE") else parsed
+            except ValueError:
+                pass
+        out[key.strip()] = parsed
+    return out
+
+
+@dataclasses.dataclass
+class TaskConfig:
+    """Flat task configuration (the union of keys the reference configs use)."""
+
+    task: str = "mimic_cxr"
+    variant: str = "multi"  # single | multi | gt_prompt | gen_prompt | scst
+    exp_dir: str = "experiments"
+    dataset_dir: str = "datasets"
+    ckpt_zoo_dir: str = "checkpoints"
+    tokenizer_dir: Optional[str] = None
+    trial: int = 0
+
+    max_images_per_study: int = 5
+    decoder_max_len: int = 256
+    num_test_beams: int = 4
+    sections_to_evaluate: tuple = ("report",)
+
+    lr: float = 5e-5
+    max_epochs: int = 32
+    mbatch_size: int = 8
+    accumulated_mbatch_size: int = 32
+    every_n_epochs: int = 1
+    monitor: str = "val_report_chexbert_f1_macro"
+    monitor_mode: str = "max"
+    precision: str = "bf16"
+    num_workers: int = 5
+
+    warm_start_name: Optional[str] = None
+    multi_ckpt_name: Optional[str] = None
+    test_ckpt_name: Optional[str] = None
+    resume_last: bool = False
+
+    # TPU parallelism
+    mesh_data: Optional[int] = None
+    mesh_model: int = 1
+
+    # model preset: "cxrmate" (CvT-21@384 + 6L BERT) or "tiny" (smoke tests)
+    model_preset: str = "cxrmate"
+    image_size: int = 384
+
+    @property
+    def exp_dir_trial(self) -> str:
+        return os.path.join(self.exp_dir, self.task, self.variant, f"trial_{self.trial}")
+
+    @property
+    def accumulate_steps(self) -> int:
+        return max(1, self.accumulated_mbatch_size // self.mbatch_size)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TaskConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in fields}
+        if "sections_to_evaluate" in kwargs and isinstance(kwargs["sections_to_evaluate"], list):
+            kwargs["sections_to_evaluate"] = tuple(kwargs["sections_to_evaluate"])
+        return cls(**kwargs)
+
+
+def parse_args(argv=None) -> TaskConfig:
+    p = argparse.ArgumentParser("cxrmate_tpu")
+    p.add_argument("--config", "-c", required=True)
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--trial", type=int, default=0)
+    p.add_argument("overrides", nargs="*", help="key=value overrides")
+    args = p.parse_args(argv)
+    cfg = apply_overrides(load_config(args.config), args.overrides)
+    cfg["trial"] = args.trial
+    task = TaskConfig.from_dict(cfg)
+    task._train = args.train  # type: ignore[attr-defined]
+    task._test = args.test  # type: ignore[attr-defined]
+    return task

@@ -1,0 +1,315 @@
+"""Train/test stage orchestration.
+
+The TPU-native counterpart of `/root/reference/tools/stages.py`: resolve warm-start
+(explicit checkpoint, best checkpoint of another experiment, HF checkpoint dir, or
+fresh init), fit with per-epoch validation + checkpoint selection on the monitored
+metric, and test with beam search + the full metric battery."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cxrmate_tpu import configs as model_configs
+from cxrmate_tpu.ckpt import orbax_io
+from cxrmate_tpu.ckpt.hf_convert import convert_encoder_decoder
+from cxrmate_tpu.cli.config import TaskConfig
+from cxrmate_tpu.data import image as image_mod
+from cxrmate_tpu.data.datasets import DicomDataset, PreviousReportDataset, StudyDataset
+from cxrmate_tpu.data.index import build_merged_index, filter_split
+from cxrmate_tpu.data.pipeline import Prefetcher, batch_iterator
+from cxrmate_tpu.generate import GenerationConfig, generate
+from cxrmate_tpu.generate.beam import beam_search
+from cxrmate_tpu.models import bert as bert_mod
+from cxrmate_tpu.models import encoder_decoder as ed
+from cxrmate_tpu.models.cvt import init_cvt_variables
+from cxrmate_tpu.tokenizer import ByteLevelBPETokenizer
+from cxrmate_tpu.train import optim
+from cxrmate_tpu.train.tf_trainer import build_tf_batch, create_train_state, make_train_step
+
+VARIANT_TO_MODEL = {
+    "single": "single",
+    "multi": "multi",
+    "gt_prompt": "longitudinal",
+    "gen_prompt": "longitudinal",
+    "scst": "longitudinal",
+}
+
+
+def build_model_config(task: TaskConfig, vocab_size: int) -> model_configs.EncoderDecoderConfig:
+    variant = VARIANT_TO_MODEL[task.variant]
+    if task.model_preset == "tiny":
+        import dataclasses
+
+        return model_configs.EncoderDecoderConfig(
+            encoder=model_configs.CvtConfig(
+                embed_dim=(8, 12, 16), num_heads=(1, 2, 2), depth=(1, 1, 3),
+                drop_path_rate=(0.0, 0.0, 0.0), projection_size=16,
+            ),
+            decoder=model_configs.BertDecoderConfig(
+                vocab_size=vocab_size, hidden_size=16, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=32,
+                max_position_embeddings=max(2 * task.decoder_max_len, 64),
+                cross_attention_hidden_size=16,
+            ),
+            variant=variant,
+            lora=model_configs.LoraConfig() if variant == "longitudinal" else None,
+            image_size=task.image_size,
+            decoder_max_len=task.decoder_max_len,
+            max_images_per_study=task.max_images_per_study,
+        )
+    if variant == "single":
+        return model_configs.single_tf_config(vocab_size)
+    if variant == "multi":
+        return model_configs.multi_tf_config(vocab_size)
+    return model_configs.longitudinal_config(vocab_size)
+
+
+def load_tokenizer(task: TaskConfig) -> ByteLevelBPETokenizer:
+    path = task.tokenizer_dir or os.path.join(task.ckpt_zoo_dir, "mimic-cxr-tokenizers", "bpe_prompt")
+    return ByteLevelBPETokenizer.from_file(path)
+
+
+def init_variables(task: TaskConfig, config) -> Dict:
+    enc = init_cvt_variables(jax.random.PRNGKey(task.trial), config.encoder)
+    dec = bert_mod.init_bert_params(jax.random.PRNGKey(task.trial + 1), config.decoder, lora=config.lora)
+    return {
+        "params": {"encoder": enc["params"], "decoder": dec},
+        "batch_stats": enc["batch_stats"],
+    }
+
+
+def resolve_warm_start(task: TaskConfig, config, variables: Dict) -> Dict:
+    """stages.py:52-85 warm-start modes."""
+    name = task.warm_start_name or task.multi_ckpt_name
+    if name and os.path.isdir(name):
+        sd = orbax_io.load_hf_pretrained_dir(name)
+        return convert_encoder_decoder(sd, config.encoder, config.decoder)
+    if name and os.path.isfile(name):
+        sd = orbax_io.load_torch_checkpoint(name)
+        return convert_encoder_decoder(sd, config.encoder, config.decoder)
+    return variables
+
+
+def make_datasets(task: TaskConfig, split: str, train: bool):
+    df = build_merged_index(task.dataset_dir)
+    sub = filter_split(df, split, task.max_images_per_study)
+    mimic_dir = os.path.join(
+        task.dataset_dir, "physionet.org", "files", "mimic-cxr-jpg", "2.0.0", "files"
+    )
+    load = (
+        image_mod.make_train_loader_transform(size=task.image_size, seed=task.trial)
+        if train
+        else image_mod.make_eval_loader_transform(size=task.image_size)
+    )
+    if task.variant == "single":
+        return DicomDataset(sub, mimic_dir, load)
+    if task.variant in ("multi",):
+        return StudyDataset(sub, mimic_dir, load)
+    history = df.loc[df["split"] == split]
+    return PreviousReportDataset(
+        sub, history, mimic_dir, load,
+        use_generated=task.variant in ("gen_prompt", "scst") and not train,
+        scst_generated=task.variant == "scst" and train,
+        mbatch_size=task.mbatch_size,
+    )
+
+
+def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None):
+    from cxrmate_tpu.eval.metrics import COCONLGMetrics, CheXbertMetrics, CXRBERTMetric
+
+    accumulate = task.variant == "single"
+    out = {}
+    for section in task.sections_to_evaluate:
+        out[f"{split}_{section}_nlg"] = COCONLGMetrics(
+            f"{split}_{section}", task.exp_dir_trial, accumulate,
+            metrics=("bleu", "cider", "rouge") + (("meteor",) if split == "test" else ()),
+        )
+        if chexbert_fn is not None:
+            out[f"{split}_{section}_chexbert"] = CheXbertMetrics(
+                f"{split}_{section}", task.exp_dir_trial, accumulate, chexbert_fn, task.mbatch_size
+            )
+        if reward_fn is not None and split == "test":
+            out[f"{split}_{section}_cxr-bert"] = CXRBERTMetric(
+                f"{split}_{section}", task.exp_dir_trial, accumulate, reward_fn, task.mbatch_size
+            )
+    return out
+
+
+def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: int):
+    """Greedy (val) or beam (test) decode of one batch → findings/impression."""
+    pixels = jnp.asarray(batch["images"], jnp.float32)
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
+    longitudinal = VARIANT_TO_MODEL[task.variant] == "longitudinal"
+    if longitudinal:
+        prompt = ed.tokenize_prompt(
+            batch["previous_findings"], batch["previous_impression"], tokenizer,
+            task.decoder_max_len, add_bos_token_id=True,
+        )
+        prompt_ids = jnp.asarray(prompt["input_ids"].astype(np.int32))
+        prompt_mask = jnp.asarray(prompt["attention_mask"].astype(np.int32))
+        pmt_sep = tokenizer.vocab["[PMT-SEP]"]
+        specials = (pmt_sep, tokenizer.bos_token_id, tokenizer.sep_token_id)
+        gen_cfg = GenerationConfig(
+            max_new_tokens=task.decoder_max_len - 1,
+            bos_token_id=tokenizer.bos_token_id, eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id, mask_token_id=tokenizer.pad_token_id,
+            special_token_ids=specials, token_type_sections=(0, 1, 0, 1),
+            num_beams=num_beams,
+        )
+        split_specials = [tokenizer.bos_token_id, tokenizer.sep_token_id, tokenizer.eos_token_id]
+    else:
+        b = pixels.shape[0]
+        prompt_ids = jnp.full((b, 1), tokenizer.bos_token_id, jnp.int32)
+        prompt_mask = jnp.ones((b, 1), jnp.int32)
+        if task.variant == "single":
+            enc_mask = jnp.ones_like(enc_mask)
+        gen_cfg = GenerationConfig(
+            max_new_tokens=task.decoder_max_len - 1,
+            bos_token_id=tokenizer.bos_token_id, eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id,
+            special_token_ids=(tokenizer.sep_token_id,),
+            num_beams=num_beams,
+        )
+        split_specials = [tokenizer.sep_token_id, tokenizer.eos_token_id]
+
+    if num_beams > 1:
+        seqs, _ = beam_search(variables, config, gen_cfg, enc_hidden, enc_mask, prompt_ids, prompt_mask)
+    else:
+        seqs = generate(variables, config, gen_cfg, enc_hidden, enc_mask, prompt_ids, prompt_mask)
+    seqs = np.asarray(seqs)
+    sections = ed.split_and_decode_sections(seqs, split_specials, tokenizer)
+    if longitudinal:
+        _, findings, impression = sections
+    else:
+        findings, impression = sections
+    return seqs, findings, impression
+
+
+def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: Dict,
+             num_beams: int, epoch: int, loggers=()):
+    it = Prefetcher(batch_iterator(dataset, task.mbatch_size, max_images=task.max_images_per_study))
+    for batch in it:
+        seqs, findings, impression = _decode_step_outputs(
+            task, config, tokenizer, variables, batch, num_beams
+        )
+        kw = {"study_ids": batch["study_ids"]}
+        if task.variant == "single":
+            kw["dicom_ids"] = batch["dicom_ids"]
+        for logger in loggers:
+            if logger.__class__.__name__ == "ReportTokenIdentifiersLogger":
+                logger.update(seqs, **kw)
+            else:
+                logger.update(findings, impression, **kw)
+        if hasattr(dataset, "use_generated") and dataset.use_generated:
+            for sid, f, i in zip(batch["study_ids"], findings, impression):
+                dataset.record_generated(sid, f, i)
+        for name, metric in metrics.items():
+            if "findings" in name:
+                metric.update(findings, [[j] for j in batch["findings"]], **kw)
+            elif "impression" in name:
+                metric.update(impression, [[j] for j in batch["impression"]], **kw)
+            else:
+                metric.update(
+                    [f"{f} {i}" for f, i in zip(findings, impression)],
+                    [[f"{f} {i}"] for f, i in zip(batch["findings"], batch["impression"])],
+                    **kw,
+                )
+    scores = {}
+    for logger in loggers:
+        logger.compute(epoch)
+        logger.reset()
+    for name, metric in metrics.items():
+        out = metric.compute(epoch)
+        if isinstance(out, dict):
+            scores.update({f"{name}_{k}": v for k, v in out.items()})
+        metric.reset()
+    return scores
+
+
+def fit(task: TaskConfig, chexbert_fn=None) -> None:
+    tokenizer = load_tokenizer(task)
+    config = build_model_config(task, len(tokenizer))
+    variables = resolve_warm_start(task, config, init_variables(task, config))
+    mask = optim.mask_for_stage(variables["params"], task.variant)
+    tx = optim.adamw(task.lr, accumulate_steps=task.accumulate_steps, trainable_mask=mask)
+    state = create_train_state(variables, tx)
+    step = make_train_step(config, tx, trainable_mask=mask, pad_id=tokenizer.pad_token_id)
+
+    train_set = make_datasets(task, "train", train=True)
+    val_set = make_datasets(task, "validate", train=False)
+    metrics = make_metrics(task, "val", chexbert_fn=chexbert_fn)
+    rng = jax.random.PRNGKey(task.trial)
+
+    for epoch in range(task.max_epochs):
+        it = Prefetcher(
+            batch_iterator(
+                train_set, task.mbatch_size, shuffle=True, seed=epoch,
+                max_images=task.max_images_per_study, drop_last=True,
+            )
+        )
+        for batch in it:
+            tf_batch = build_tf_batch(
+                tokenizer, config, batch["images"].astype(np.float32),
+                batch["findings"], batch["impression"],
+                batch.get("previous_findings"), batch.get("previous_impression"),
+            )
+            rng, k = jax.random.split(rng)
+            state, loss = step(state, {k2: jnp.asarray(v) for k2, v in tf_batch.items()}, k)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1, epoch)
+        monitor_value = scores.get(
+            f"val_report_chexbert_f1_macro", scores.get("val_report_nlg_bleu_4")
+        )
+        orbax_io.save_checkpoint(
+            task.exp_dir_trial, state, epoch, monitor_value,
+            monitor=task.monitor, mode=task.monitor_mode,
+        )
+
+
+def test(task: TaskConfig, chexbert_fn=None, reward_fn=None) -> Dict:
+    from cxrmate_tpu.eval.metrics import ReportLogger, ReportTokenIdentifiersLogger
+
+    tokenizer = load_tokenizer(task)
+    config = build_model_config(task, len(tokenizer))
+    variables = init_variables(task, config)
+    if task.test_ckpt_name:
+        variables = resolve_warm_start(
+            TaskConfig(**{**task.__dict__, "warm_start_name": task.test_ckpt_name}),
+            config, variables,
+        )
+    else:
+        best = orbax_io.best_checkpoint(task.exp_dir_trial, task.monitor_mode)
+        if best:
+            state = orbax_io.restore_checkpoint(best, None)
+            variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+    test_set = make_datasets(task, "test", train=False)
+    metrics = make_metrics(task, "test", reward_fn=reward_fn, chexbert_fn=chexbert_fn)
+    loggers = (
+        ReportLogger("test_reports", task.exp_dir_trial, task.variant == "single"),
+        ReportTokenIdentifiersLogger("test_report_ids", task.exp_dir_trial, task.variant == "single"),
+    )
+    return evaluate(
+        task, config, tokenizer, variables, test_set, "test", metrics,
+        task.num_test_beams, 0, loggers,
+    )
+
+
+def main(argv=None):
+    from cxrmate_tpu.cli.config import parse_args
+
+    task = parse_args(argv)
+    if getattr(task, "_train", False):
+        fit(task)
+    if getattr(task, "_test", False):
+        scores = test(task)
+        for k, v in sorted(scores.items()):
+            print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -60,10 +60,10 @@ def chexbert_predict(params, config, tokenizer, reports: Sequence[str], max_leng
     return np.stack([np.asarray(jnp.argmax(l, axis=-1)) for l in logits], axis=1)
 
 
-def convert_chexbert(sd: Dict) -> Dict:
+def convert_chexbert(sd: Dict, config: BertDecoderConfig = BERT_BASE) -> Dict:
     """Convert the Stanford CheXbert checkpoint state dict (keys
     ``module.bert.* / module.linear_heads.*`` or already-remapped ``bert.*``)."""
-    from cxrmate_tpu.ckpt.hf_convert import _lin, _np, convert_bert_decoder
+    from cxrmate_tpu.ckpt.hf_convert import _lin, convert_bert_decoder
 
     norm = {}
     for k, v in sd.items():
@@ -72,7 +72,7 @@ def convert_chexbert(sd: Dict) -> Dict:
     sd = norm
     from cxrmate_tpu.reward.cxrbert import _fake_lm_head
 
-    bert = convert_bert_decoder({**sd, **_fake_lm_head(sd, BERT_BASE)}, BERT_BASE)
+    bert = convert_bert_decoder({**sd, **_fake_lm_head(sd, config)}, config)
     bert.pop("lm_head", None)
     heads = [_lin(sd, f"linear_heads.{i}") for i in range(14)]
     return {"bert": bert, "heads": heads}

@@ -1,0 +1,116 @@
+"""SCST training-step integration test (tiny models, dummy reward)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cxrmate_tpu.configs import BertDecoderConfig, CvtConfig, EncoderDecoderConfig, LoraConfig
+from cxrmate_tpu.generate import GenerationConfig
+from cxrmate_tpu.models import bert as bert_mod
+from cxrmate_tpu.models.cvt import init_cvt_variables
+from cxrmate_tpu.train import optim
+from cxrmate_tpu.train.scst import SCSTTrainer, make_scst_step, reinforce_loss
+from cxrmate_tpu.train.tf_trainer import create_train_state
+
+BOS, EOS, SEP, PAD = 1, 2, 3, 4
+PMT_SEP = 60
+
+
+def _config():
+    return EncoderDecoderConfig(
+        encoder=CvtConfig(
+            embed_dim=(8, 12, 16), num_heads=(1, 2, 2), depth=(1, 1, 3),
+            drop_path_rate=(0.0, 0.0, 0.0), projection_size=16,
+        ),
+        decoder=BertDecoderConfig(
+            vocab_size=64, hidden_size=16, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=64, cross_attention_hidden_size=16,
+        ),
+        variant="longitudinal",
+        lora=LoraConfig(),
+        image_size=32,
+    )
+
+
+def test_reinforce_loss_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    logits = rng.randn(2, 6, 11).astype(np.float32)
+    ids = rng.randint(0, 11, size=(2, 6))
+    ids[0, 4:] = PAD
+    reward = np.array([0.3, -0.2], np.float32)
+    # reference reinforce_loss (scst/gt_prompt.py:211-246): nll_loss over [B, V, T]
+    t_logits = torch.from_numpy(logits).permute(0, 2, 1)
+    nll = torch.nn.functional.nll_loss(
+        torch.nn.functional.log_softmax(t_logits, dim=1),
+        torch.from_numpy(ids), ignore_index=PAD, reduction="none",
+    ).sum(-1)
+    expected = (nll * torch.from_numpy(reward)).mean().item()
+    got = float(reinforce_loss(jnp.asarray(logits), jnp.asarray(ids), jnp.asarray(reward), PAD))
+    assert abs(got - expected) < 1e-5
+
+
+def test_scst_step_runs_and_freezes_encoder():
+    config = _config()
+    enc = init_cvt_variables(jax.random.PRNGKey(0), config.encoder)
+    dec = bert_mod.init_bert_params(jax.random.PRNGKey(1), config.decoder, lora=config.lora)
+    variables = {
+        "params": {"encoder": enc["params"], "decoder": dec},
+        "batch_stats": enc["batch_stats"],
+    }
+    mask = optim.mask_for_stage(variables["params"], "scst")
+    tx = optim.adamw(lr=1e-3, trainable_mask=mask)
+    state = create_train_state(variables, tx)
+
+    specials_sample = (BOS, SEP)
+    specials_base = (PMT_SEP, BOS, SEP)
+    gen_sample = GenerationConfig(
+        max_new_tokens=8, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        mask_token_id=PAD, special_token_ids=specials_sample,
+        token_type_sections=(0, 1, 0, 1), do_sample=True, top_k=5,
+    )
+    gen_base = GenerationConfig(
+        max_new_tokens=8, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        mask_token_id=PAD, special_token_ids=specials_base,
+        token_type_sections=(0, 1, 0, 1),
+    )
+    rollout, grad_step = make_scst_step(config, gen_sample, gen_base, tx, trainable_mask=mask)
+
+    def split_fn(token_ids):
+        n = token_ids.shape[0]
+        strs = [" ".join(str(t) for t in row if t not in (BOS, EOS, SEP, PAD)) for row in token_ids]
+        return ["" for _ in range(n)], strs, ["" for _ in range(n)]
+
+    def reward_fn(preds, labels):
+        return np.asarray([min(len(p), 10) / 10.0 for p in preds], np.float32)
+
+    trainer = SCSTTrainer(config, rollout, grad_step, reward_fn, split_fn)
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(rng.randn(2, 2, 3, 32, 32), jnp.float32)
+    prompt = np.full((2, 5), PAD, np.int32)
+    prompt[0, :3] = [50, PMT_SEP, BOS]
+    prompt[1, :5] = [50, 51, PMT_SEP, 52, BOS]
+    prompt_mask = (prompt != PAD).astype(np.int32)
+
+    enc_before = np.asarray(state.params["encoder"]["projection_head"]["proj"]["w"])
+    dec_before = np.asarray(state.params["decoder"]["layers"][0]["self"]["q"]["w"])
+    lora_before = np.asarray(state.params["decoder"]["layers"][0]["self"]["q"]["lora_a"])
+    state, logs, (bf, bi) = trainer.step(
+        state, pixels, prompt, prompt_mask,
+        findings=["clear lungs", "stable"], impression=["no change", "normal"],
+        rng=jax.random.PRNGKey(7),
+    )
+    assert np.isfinite(logs["scst_loss"])
+    np.testing.assert_array_equal(
+        np.asarray(state.params["encoder"]["projection_head"]["proj"]["w"]), enc_before
+    )
+    # decoder (incl. base q/k) trains under SCST
+    assert not np.allclose(
+        np.asarray(state.params["decoder"]["layers"][0]["self"]["q"]["w"]), dec_before
+    ) or not np.allclose(
+        np.asarray(state.params["decoder"]["layers"][0]["self"]["q"]["lora_a"]), lora_before
+    )
+    assert len(bf) == 2
