@@ -136,7 +136,17 @@ def convert_bert_decoder(sd: Dict, config: BertDecoderConfig, prefix: str = "") 
             "transform": _lin(sd, f"{p}cls.predictions.transform.dense"),
             "ln": _ln(sd, f"{p}cls.predictions.transform.LayerNorm"),
             "decoder": {
-                "w": jnp.asarray(_np(sd[f"{p}cls.predictions.decoder.weight"]).T),
+                # BertLMHeadModel ties the LM projection to the word embeddings
+                # (BertConfig.tie_word_embeddings default); safetensors checkpoints
+                # drop the aliased tensor, so fall back to the embedding matrix.
+                "w": jnp.asarray(
+                    _np(
+                        sd.get(
+                            f"{p}cls.predictions.decoder.weight",
+                            sd[f"{p}bert.embeddings.word_embeddings.weight"],
+                        )
+                    ).T
+                ),
                 "b": jnp.asarray(_np(sd[f"{p}cls.predictions.bias"])),
             },
         },
