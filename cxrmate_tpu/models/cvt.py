@@ -132,7 +132,8 @@ def _stage_drop_path_rate(config: CvtConfig, s: int) -> float:
     return float(sched[s]) if s < depth else float(sched[-1])
 
 
-def _attention_block(p, stats, tokens, hw, config, s, train, rng):
+def _attention_block(p, stats, tokens, hw, config, s, train, rng,
+                     use_flash=False, flash_interpret=False):
     """CvT self-attention on [B, T(+cls), D] tokens with a 2-D conv projection."""
     h, w = hw
     dim = config.embed_dim[s]
@@ -172,11 +173,21 @@ def _attention_block(p, stats, tokens, hw, config, s, train, rng):
     k = split_heads(linear(p["k"], k_tok), heads)
     v = split_heads(linear(p["v"], v_tok), heads)
 
-    rng_attn = rng
-    ctx = attention(
-        q, k, v, scale=dim ** -0.5,
-        probs_dropout=config.attention_drop_rate[s], train=train, rng=rng_attn,
-    )
+    if use_flash and not (train and config.attention_drop_rate[s] > 0.0):
+        from cxrmate_tpu.ops.flash_attention import flash_attention
+
+        bq, hq, lq, dh = q.shape
+        lk = k.shape[2]
+        ctx = flash_attention(
+            q.reshape(bq * hq, lq, dh), k.reshape(bq * hq, lk, dh),
+            v.reshape(bq * hq, lk, dh), scale=dim ** -0.5,
+            interpret=flash_interpret,
+        ).reshape(bq, hq, lq, dh)
+    else:
+        ctx = attention(
+            q, k, v, scale=dim ** -0.5,
+            probs_dropout=config.attention_drop_rate[s], train=train, rng=rng,
+        )
     out = merge_heads(ctx)
     out = linear(p["out"], out)
     if train and config.drop_rate[s] > 0.0 and rng is not None:
@@ -192,6 +203,8 @@ def cvt_forward(
     *,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    use_flash: bool = False,
+    flash_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], dict]:
     """Run the CvT trunk.
 
@@ -229,7 +242,8 @@ def cvt_forward(
                 k_attn = k_dp1 = k_dp2 = None
             attn_in = layer_norm(lp["ln_before"], tokens, config.internal_layer_norm_eps)
             attn_out, ns = _attention_block(
-                lp["attn"], lstats, attn_in, (h, w), config, s, train, k_attn
+                lp["attn"], lstats, attn_in, (h, w), config, s, train, k_attn,
+                use_flash=use_flash, flash_interpret=flash_interpret,
             )
             stage_new_stats["layers"].append(ns)
             tokens = _drop_path(attn_out, dp_rate, train, k_dp1) + tokens
@@ -259,13 +273,19 @@ def cvt_encode(
     *,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    use_flash: bool = False,
+    flash_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Full encoder: CvT trunk + projection head → [B, H*W, projection_size].
 
     Mirrors ``CvtWithProjectionHead.forward`` (modelling_single.py:53-78): the 2-D
-    grid is flattened to tokens and projected; the cls token is unused."""
+    grid is flattened to tokens and projected; the cls token is unused.
+
+    ``use_flash`` routes the attention through the Pallas flash kernel (no
+    materialised scores — the fast path for long stage-0/1 sequences)."""
     tokens, _, new_stats = cvt_forward(
-        params, batch_stats, pixel_values, config, train=train, rng=rng
+        params, batch_stats, pixel_values, config, train=train, rng=rng,
+        use_flash=use_flash, flash_interpret=flash_interpret,
     )
     y = layer_norm(params["projection_head"]["ln"], tokens, config.layer_norm_eps)
     y = linear(params["projection_head"]["proj"], y)
