@@ -111,10 +111,12 @@ def make_datasets(task: TaskConfig, split: str, train: bool):
     if task.variant in ("multi",):
         return StudyDataset(sub, mimic_dir, load)
     history = df.loc[df["split"] == split]
+    # gt_prompt: ground-truth prompts; gen_prompt/scst: model-generated prompts
+    # (train-time SCST additionally bin-packs subjects onto lanes — prompt.py:75-80)
     return PreviousReportDataset(
         sub, history, mimic_dir, load,
-        use_generated=task.variant in ("gen_prompt", "scst") and not train,
-        scst_generated=task.variant == "scst" and train,
+        use_generated=task.variant in ("gen_prompt", "scst"),
+        scst_generated=task.variant == "scst" and train and split == "train",
         mbatch_size=task.mbatch_size,
     )
 
@@ -271,6 +273,85 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
         )
 
 
+def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
+    """SCST (gen-prompt) training: sampled rollouts + greedy baseline + CXR-BERT
+    reward, with per-epoch subject re-allocation and generated-history threading
+    (reference scst/gen_prompt.py:146-259)."""
+    from cxrmate_tpu.train.scst import SCSTTrainer, make_scst_step
+
+    tokenizer = load_tokenizer(task)
+    config = build_model_config(task, len(tokenizer))
+    variables = resolve_warm_start(task, config, init_variables(task, config))
+    mask = optim.mask_for_stage(variables["params"], "scst")
+    tx = optim.adamw(task.lr, accumulate_steps=task.accumulate_steps, trainable_mask=mask)
+    state = create_train_state(variables, tx)
+
+    pmt_sep = tokenizer.vocab["[PMT-SEP]"]
+    gen_sample = GenerationConfig(
+        max_new_tokens=task.decoder_max_len - 1,
+        bos_token_id=tokenizer.bos_token_id, eos_token_id=tokenizer.eos_token_id,
+        pad_token_id=tokenizer.pad_token_id, mask_token_id=tokenizer.pad_token_id,
+        special_token_ids=(tokenizer.bos_token_id, tokenizer.sep_token_id),
+        token_type_sections=(0, 1, 0, 1),
+        do_sample=True, top_k=50, top_p=1.0, temperature=1.0,
+    )
+    gen_base = GenerationConfig(
+        max_new_tokens=task.decoder_max_len - 1,
+        bos_token_id=tokenizer.bos_token_id, eos_token_id=tokenizer.eos_token_id,
+        pad_token_id=tokenizer.pad_token_id, mask_token_id=tokenizer.pad_token_id,
+        special_token_ids=(pmt_sep, tokenizer.bos_token_id, tokenizer.sep_token_id),
+        token_type_sections=(0, 1, 0, 1),
+    )
+    rollout, grad_step = make_scst_step(config, gen_sample, gen_base, tx, trainable_mask=mask,
+                                        pad_id=tokenizer.pad_token_id)
+
+    def split_fn(token_ids):
+        return ed.split_and_decode_sections(
+            token_ids,
+            [tokenizer.bos_token_id, tokenizer.sep_token_id, tokenizer.eos_token_id],
+            tokenizer,
+        )
+
+    trainer = SCSTTrainer(config, rollout, grad_step, reward_fn, split_fn)
+    train_set = make_datasets(task, "train", train=True)
+    val_set = make_datasets(task, "validate", train=False)
+    metrics = make_metrics(task, "val", chexbert_fn=chexbert_fn)
+    rng = jax.random.PRNGKey(task.trial)
+
+    for epoch in range(task.max_epochs):
+        # per-epoch subject→lane reallocation + history reset (scst/gen_prompt.py:152-158)
+        train_set.allocate_subjects_to_rank(
+            seed=(epoch + task.trial + 1) * (task.trial + 1)
+        )
+        train_set.reset_generated()
+        it = Prefetcher(
+            batch_iterator(train_set, task.mbatch_size, max_images=task.max_images_per_study,
+                           drop_last=True)
+        )
+        for batch in it:
+            prompt = ed.tokenize_prompt(
+                batch["previous_findings"], batch["previous_impression"], tokenizer,
+                task.decoder_max_len, add_bos_token_id=True,
+            )
+            rng, k = jax.random.split(rng)
+            state, logs, (b_f, b_i) = trainer.step(
+                state, jnp.asarray(batch["images"], jnp.float32),
+                prompt["input_ids"].astype(np.int32), prompt["attention_mask"].astype(np.int32),
+                batch["findings"], batch["impression"], k,
+            )
+            # baseline outputs feed the history for later studies of the subject
+            for sid, f, i in zip(batch["study_ids"], b_f, b_i):
+                train_set.record_generated(sid, f, i)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        val_set.reset_generated()
+        scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1, epoch)
+        monitor_value = scores.get(task.monitor)
+        orbax_io.save_checkpoint(
+            task.exp_dir_trial, state, epoch, monitor_value,
+            monitor=task.monitor, mode=task.monitor_mode,
+        )
+
+
 def test(task: TaskConfig, chexbert_fn=None, reward_fn=None) -> Dict:
     from cxrmate_tpu.eval.metrics import ReportLogger, ReportTokenIdentifiersLogger
 
@@ -299,14 +380,57 @@ def test(task: TaskConfig, chexbert_fn=None, reward_fn=None) -> Dict:
     )
 
 
+def build_cxrbert_reward(task: TaskConfig):
+    """Load the CXR-BERT reward model from the checkpoint zoo
+    (`microsoft/BiomedVLP-CXR-BERT-specialized` dir with weights + vocab.txt)."""
+    from cxrmate_tpu.configs import BertDecoderConfig
+    from cxrmate_tpu.reward.cxrbert import CXRBERTReward, convert_cxrbert
+    from cxrmate_tpu.tokenizer.wordpiece import WordPieceTokenizer
+
+    path = os.path.join(task.ckpt_zoo_dir, "microsoft", "BiomedVLP-CXR-BERT-specialized")
+    sd = orbax_io.load_hf_pretrained_dir(path)
+    cfg = BertDecoderConfig(
+        vocab_size=sd["bert.embeddings.word_embeddings.weight"].shape[0],
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, max_position_embeddings=512, type_vocab_size=2,
+        pad_token_id=0, add_cross_attention=False,
+    )
+    params = convert_cxrbert(sd, cfg)
+    tok = WordPieceTokenizer.from_file(os.path.join(path, "vocab.txt"))
+    return CXRBERTReward(params, cfg, tok)
+
+
+def build_chexbert_fn(task: TaskConfig):
+    """Load the CheXbert labeler (Stanford checkpoint + bert-base-uncased vocab)."""
+    from cxrmate_tpu.eval.chexbert import BERT_BASE, chexbert_predict, convert_chexbert
+    from cxrmate_tpu.tokenizer.wordpiece import WordPieceTokenizer
+
+    ckpt = os.path.join(task.ckpt_zoo_dir, "stanford", "chexbert", "chexbert.pth")
+    vocab = os.path.join(task.ckpt_zoo_dir, "bert-base-uncased", "vocab.txt")
+    params = convert_chexbert(orbax_io.load_torch_checkpoint(ckpt))
+    tok = WordPieceTokenizer.from_file(vocab)
+    return lambda reports: chexbert_predict(params, BERT_BASE, tok, reports)
+
+
+def _optional(builder, task):
+    try:
+        return builder(task)
+    except (FileNotFoundError, AssertionError, KeyError):
+        return None
+
+
 def main(argv=None):
     from cxrmate_tpu.cli.config import parse_args
 
     task = parse_args(argv)
+    chexbert_fn = _optional(build_chexbert_fn, task)
     if getattr(task, "_train", False):
-        fit(task)
+        if task.variant == "scst":
+            fit_scst(task, build_cxrbert_reward(task), chexbert_fn=chexbert_fn)
+        else:
+            fit(task, chexbert_fn=chexbert_fn)
     if getattr(task, "_test", False):
-        scores = test(task)
+        scores = test(task, chexbert_fn=chexbert_fn, reward_fn=_optional(build_cxrbert_reward, task))
         for k, v in sorted(scores.items()):
             print(f"{k}: {v}")
 

@@ -110,8 +110,9 @@ class PreviousReportDataset(StudyDataset):
 
         if self.use_generated:
             self.history = self.history.copy()
-            self.history["generated_findings"] = np.nan
-            self.history["generated_impression"] = np.nan
+            # object dtype: these columns hold strings once generation fills them
+            self.history["generated_findings"] = pd.Series(np.nan, index=self.history.index, dtype=object)
+            self.history["generated_impression"] = pd.Series(np.nan, index=self.history.index, dtype=object)
             self.allocate_subjects_to_rank(shuffle_subjects=False)
         if self.scst_generated:
             self.allocate_subjects_to_rank(seed=0)
@@ -124,8 +125,8 @@ class PreviousReportDataset(StudyDataset):
         self.history.loc[sel, "generated_impression"] = impression
 
     def reset_generated(self) -> None:
-        self.history["generated_findings"] = np.nan
-        self.history["generated_impression"] = np.nan
+        self.history["generated_findings"] = pd.Series(np.nan, index=self.history.index, dtype=object)
+        self.history["generated_impression"] = pd.Series(np.nan, index=self.history.index, dtype=object)
 
     def __getitem__(self, index) -> Dict:
         out = StudyDataset.__getitem__(self, index)

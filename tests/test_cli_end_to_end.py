@@ -71,15 +71,15 @@ def synthetic_dataset(tmp_path_factory):
     return root
 
 
-def _task(root, variant, **kw):
+def _task(root, variant, max_epochs=1, mbatch_size=2, accumulated_mbatch_size=2, **kw):
     return TaskConfig(
+        max_epochs=max_epochs,
         variant=variant,
         exp_dir=str(root / "experiments"),
         dataset_dir=str(root / "datasets"),
         ckpt_zoo_dir=str(root / "checkpoints"),
-        max_epochs=1,
-        mbatch_size=2,
-        accumulated_mbatch_size=2,
+        mbatch_size=mbatch_size,
+        accumulated_mbatch_size=accumulated_mbatch_size,
         decoder_max_len=24,
         num_test_beams=2,
         max_images_per_study=2,
@@ -123,3 +123,19 @@ def test_config_composition(tmp_path):
     assert cfg["lr"] == 1e-4 and cfg["variant"] == "multi"
     task = TaskConfig.from_dict(cfg)
     assert task.accumulate_steps == 8
+
+
+def test_fit_scst_gen_prompt(synthetic_dataset):
+    import numpy as np
+
+    from cxrmate_tpu.cli.stages import fit_scst
+
+    root = synthetic_dataset
+    task = _task(root, "scst", trial=2, max_epochs=1, mbatch_size=1, accumulated_mbatch_size=1)
+
+    def reward_fn(preds, labels):
+        return np.asarray([min(len(p), 20) / 20.0 for p in preds], np.float32)
+
+    fit_scst(task, reward_fn)
+    ckpts = glob.glob(os.path.join(task.exp_dir_trial, "checkpoints", "epoch=*"))
+    assert ckpts
