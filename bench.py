@@ -57,13 +57,15 @@ def make_pipeline(config, variables, batch, decode_tokens):
         special_token_ids=(3,),
     )
 
+    use_fused = os.environ.get("CXRMATE_BENCH_FUSED", "1") == "1"
+
     @jax.jit
     def pipeline(variables, pixels):
         enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
         prompt = jnp.full((pixels.shape[0], 1), gen_cfg.bos_token_id, jnp.int32)
         seqs = generate(
             variables, config, gen_cfg, enc_hidden, enc_mask, prompt,
-            jnp.ones_like(prompt),
+            jnp.ones_like(prompt), use_fused=use_fused,
         )
         return seqs
 

@@ -1,0 +1,162 @@
+"""BERTScore metric.
+
+Port of the reference's ``BERTScoreRoBERTaLarge`` (`tools/metrics/bertscore.py`:
+roberta-large hidden layer 17, F1/precision/recall). The scoring algorithm is the
+published one (greedy token matching on L2-normalised hidden states); the encoder is
+pluggable — a converted RoBERTa/BERT checkpoint from the zoo. ``rescale_with_baseline``
+takes the baseline triple from the bert-score package's baseline file when available
+(the reference downloads it; offline it is optional)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cxrmate_tpu.configs import BertDecoderConfig
+from cxrmate_tpu.models.bert import _mlp, _self_attention, bert_embed, padding_additive_mask
+
+
+def bert_hidden_states(
+    params, config: BertDecoderConfig, input_ids, attention_mask, *, num_layers: int,
+    position_ids=None,
+) -> jnp.ndarray:
+    """Bidirectional encoder forward cut at ``num_layers`` → hidden [B, L, D]."""
+    b, l = input_ids.shape
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(l), (b, l))
+    mask = padding_additive_mask(attention_mask)
+    hidden = bert_embed(params, config, input_ids, None, position_ids)
+    for layer in params["layers"][:num_layers]:
+        hidden = _self_attention(layer["self"], hidden, mask, config, None)
+        hidden = _mlp(layer["mlp"], hidden, config)
+    return hidden
+
+
+def roberta_position_ids(attention_mask: jnp.ndarray, padding_idx: int = 1) -> jnp.ndarray:
+    """RoBERTa's position scheme: padding_idx + cumsum(mask) on real tokens."""
+    m = attention_mask.astype(jnp.int32)
+    return (jnp.cumsum(m, axis=1) * m) + padding_idx
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _greedy_match_f1(
+    cand: jnp.ndarray, cand_mask: jnp.ndarray, ref: jnp.ndarray, ref_mask: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """BERTScore P/R/F1 from hidden states [B, L, D] (special tokens excluded by the
+    caller via the masks)."""
+    def norm(x):
+        x = x.astype(jnp.float32)
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    c, r = norm(cand), norm(ref)
+    sim = jnp.einsum("bid,bjd->bij", c, r)
+    neg = -1e9
+    sim = sim + (1 - cand_mask[:, :, None]) * neg + (1 - ref_mask[:, None, :]) * neg
+    p = jnp.sum(jnp.max(sim, axis=2) * cand_mask, axis=1) / jnp.maximum(jnp.sum(cand_mask, 1), 1)
+    rr = jnp.sum(jnp.max(sim, axis=1) * ref_mask, axis=1) / jnp.maximum(jnp.sum(ref_mask, 1), 1)
+    f1 = 2 * p * rr / jnp.maximum(p + rr, 1e-12)
+    return p, rr, f1
+
+
+class BERTScorer:
+    """(predictions, references) → dict of per-item P/R/F1 arrays.
+
+    tokenizer: WordPiece/BPE tokenizer with __call__ batching (specials included;
+    they are masked out of matching like bert-score does)."""
+
+    def __init__(
+        self,
+        params: Dict,
+        config: BertDecoderConfig,
+        tokenizer,
+        num_layers: int = 17,
+        roberta_positions: bool = False,
+        baseline: Optional[Tuple[float, float, float]] = None,
+        max_length: int = 512,
+    ):
+        self.params = params
+        self.config = config
+        self.tokenizer = tokenizer
+        self.num_layers = num_layers
+        self.roberta_positions = roberta_positions
+        self.baseline = baseline
+        self.max_length = max_length
+
+    def _embed(self, texts: Sequence[str]):
+        tok = self.tokenizer(list(texts), padding="longest", truncation=True, max_length=self.max_length)
+        ids = jnp.asarray(tok["input_ids"])
+        mask = jnp.asarray(tok["attention_mask"])
+        pos = roberta_position_ids(mask) if self.roberta_positions else None
+        hidden = bert_hidden_states(
+            self.params, self.config, ids, mask, num_layers=self.num_layers, position_ids=pos
+        )
+        # exclude [CLS]/[SEP]-style specials from matching (first + last real token)
+        b, l = mask.shape
+        idx = jnp.arange(l)[None, :]
+        last_real = jnp.sum(mask, axis=1) - 1
+        match_mask = mask.astype(jnp.float32)
+        match_mask = match_mask * (idx != 0) * (idx != last_real[:, None])
+        return hidden, match_mask
+
+    def score(self, predictions: Sequence[str], references: Sequence[str]) -> Dict[str, np.ndarray]:
+        cand, cand_mask = self._embed(predictions)
+        ref, ref_mask = self._embed(references)
+        lc, lr = cand.shape[1], ref.shape[1]
+        width = max(lc, lr)
+        cand = jnp.pad(cand, ((0, 0), (0, width - lc), (0, 0)))
+        cand_mask = jnp.pad(cand_mask, ((0, 0), (0, width - lc)))
+        ref = jnp.pad(ref, ((0, 0), (0, width - lr), (0, 0)))
+        ref_mask = jnp.pad(ref_mask, ((0, 0), (0, width - lr)))
+        p, r, f1 = _greedy_match_f1(cand, cand_mask, ref, ref_mask)
+        p, r, f1 = np.asarray(p), np.asarray(r), np.asarray(f1)
+        if self.baseline is not None:
+            bp, br, bf = self.baseline
+            p, r, f1 = (p - bp) / (1 - bp), (r - br) / (1 - br), (f1 - bf) / (1 - bf)
+        return {"precision": p, "recall": r, "f1": f1}
+
+
+class BERTScoreMetric:
+    """Accumulating metric mirroring tools/metrics/bertscore.py: dedup by id,
+    per-item CSV dump, mean f1/precision/recall."""
+
+    def __init__(self, split, exp_dir, accumulate_over_dicoms, scorer: BERTScorer,
+                 mbatch_size: int = 16):
+        from cxrmate_tpu.eval.metrics import _Accumulator
+
+        self._acc = _Accumulator(split, exp_dir, "bertscore", accumulate_over_dicoms)
+        self.scorer = scorer
+        self.mbatch_size = mbatch_size
+
+    def update(self, predictions, labels, study_ids, dicom_ids=None):
+        labels = [l[0] if isinstance(l, list) else l for l in labels]
+        rows = self._acc.rows
+        if self._acc.accumulate_over_dicoms:
+            for p, l, s, d in zip(predictions, labels, study_ids, dicom_ids):
+                rows.append({"prediction": p, "label": l, "study_id": s, "dicom_id": d})
+        else:
+            for p, l, s in zip(predictions, labels, study_ids):
+                rows.append({"prediction": p, "label": l, "study_id": s})
+
+    def reset(self):
+        self._acc.reset()
+
+    def compute(self, epoch=0) -> Dict[str, float]:
+        from cxrmate_tpu.eval.metrics import _gather_rows
+
+        rows = _gather_rows(self._acc.rows)
+        df = self._acc._dedup_df(rows)
+        outs = {"precision": [], "recall": [], "f1": []}
+        preds, labels = df["prediction"].tolist(), df["label"].tolist()
+        for s in range(0, len(df), self.mbatch_size):
+            out = self.scorer.score(preds[s : s + self.mbatch_size], labels[s : s + self.mbatch_size])
+            for k in outs:
+                outs[k].append(out[k])
+        out_df = df.drop(columns=["prediction", "label"]).copy()
+        for k in outs:
+            out_df[k] = np.concatenate(outs[k]) if outs[k] else []
+        self._acc._save(out_df, epoch)
+        return {k: float(np.mean(np.concatenate(v))) for k, v in outs.items() if v}

@@ -76,13 +76,10 @@ def beam_search(
     )
 
     # tile cache and encoder tensors to B*K (beam-major within batch)
-    def tile(x, axis):
+    def tile(x, axis=0):
         return jnp.repeat(x, k, axis=axis)
 
-    cache = bert_mod.DecodeCache(
-        self_k=tile(cache.self_k, 1), self_v=tile(cache.self_v, 1),
-        cross_k=tile(cache.cross_k, 1), cross_v=tile(cache.cross_v, 1),
-    )
+    cache = jax.tree_util.tree_map(tile, cache)
     enc_mask_flat = tile(encoder_mask, 0)
 
     # ---- state ----
@@ -136,8 +133,8 @@ def beam_search(
         sel_beam = _gather_beams(beam_idx, nxt)  # [B, K] source beam per new beam
         flat_sel = (sel_beam + jnp.arange(b)[:, None] * k).reshape(-1)
         cache = bert_mod.DecodeCache(
-            self_k=jnp.take(cache.self_k, flat_sel, axis=1),
-            self_v=jnp.take(cache.self_v, flat_sel, axis=1),
+            self_k=tuple(jnp.take(x, flat_sel, axis=0) for x in cache.self_k),
+            self_v=tuple(jnp.take(x, flat_sel, axis=0) for x in cache.self_v),
             cross_k=cache.cross_k,
             cross_v=cache.cross_v,
         )

@@ -79,7 +79,8 @@ def _type_from_present(present: jnp.ndarray, gen_cfg: GenerationConfig) -> jnp.n
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "gen_cfg", "max_new_tokens_pad", "return_scores")
+    jax.jit,
+    static_argnames=("config", "gen_cfg", "max_new_tokens_pad", "return_scores", "use_fused"),
 )
 def generate(
     variables,
@@ -93,6 +94,7 @@ def generate(
     *,
     max_new_tokens_pad: Optional[int] = None,
     return_scores: bool = False,
+    use_fused: bool = False,
 ):
     """Greedy or sampled decoding (num_beams == 1).
 
@@ -192,7 +194,7 @@ def generate(
             pos = jnp.full((b,), 0, jnp.int32) + i
         logits, cache = bert_mod.bert_step(
             params, dcfg, s["cache"], q_tok, ttype, pos, i, s["key_mask"], encoder_mask,
-            lora=config.lora,
+            lora=config.lora, use_fused=use_fused,
         )
         rng_step, rng_next = jax.random.split(s["rng"])
         tok, step_scores = select_token(logits, rng_step)

@@ -261,13 +261,15 @@ def bert_forward(
 # ------------------------------------------------------------------ cached decode
 @dataclasses.dataclass
 class DecodeCache:
-    """Static-shape KV cache. ``self_k/self_v``: [L, B, H, T, Dh] (T = max sequence
-    length); ``cross_k/cross_v``: [L, B, H, S, Dh], computed once at prefill."""
+    """Static-shape KV cache: per-layer tuples of [B, H, T, Dh] (T = max sequence
+    length) for self-attention and [B, H, S, Dh] for cross-attention (computed once
+    at prefill). Per-layer arrays keep the fused decode kernel's in-place aliasing
+    natural and avoid leading-dim dynamic slices."""
 
-    self_k: jnp.ndarray
-    self_v: jnp.ndarray
-    cross_k: jnp.ndarray
-    cross_v: jnp.ndarray
+    self_k: Tuple[jnp.ndarray, ...]
+    self_v: Tuple[jnp.ndarray, ...]
+    cross_k: Tuple[jnp.ndarray, ...]
+    cross_v: Tuple[jnp.ndarray, ...]
 
 
 jax.tree_util.register_dataclass(
@@ -280,10 +282,10 @@ def init_cache(
 ) -> DecodeCache:
     l, h, dh = config.num_hidden_layers, config.num_attention_heads, config.head_dim
     return DecodeCache(
-        self_k=jnp.zeros((l, batch, h, max_len, dh), dtype),
-        self_v=jnp.zeros((l, batch, h, max_len, dh), dtype),
-        cross_k=jnp.zeros((l, batch, h, enc_len, dh), dtype),
-        cross_v=jnp.zeros((l, batch, h, enc_len, dh), dtype),
+        self_k=tuple(jnp.zeros((batch, h, max_len, dh), dtype) for _ in range(l)),
+        self_v=tuple(jnp.zeros((batch, h, max_len, dh), dtype) for _ in range(l)),
+        cross_k=tuple(jnp.zeros((batch, h, enc_len, dh), dtype) for _ in range(l)),
+        cross_v=tuple(jnp.zeros((batch, h, enc_len, dh), dtype) for _ in range(l)),
     )
 
 
@@ -310,8 +312,8 @@ def bert_prefill(
     hidden = bert_embed(
         params, config, input_ids, token_type_ids, position_ids, dtype=encoder_hidden_states.dtype
     )
-    self_k, self_v = cache.self_k, cache.self_v
-    cross_k, cross_v = cache.cross_k, cache.cross_v
+    self_k, self_v = list(cache.self_k), list(cache.self_v)
+    cross_k, cross_v = list(cache.cross_k), list(cache.cross_v)
     for i, layer in enumerate(params["layers"]):
         sp = layer["self"]
         if lora is not None:
@@ -322,23 +324,23 @@ def bert_prefill(
             k = linear(sp["k"], hidden)
         v = linear(sp["v"], hidden)
         qh, kh, vh = (split_heads(t, heads) for t in (q, k, v))
-        self_k = jax.lax.dynamic_update_slice(self_k, kh[None].astype(self_k.dtype), (i, 0, 0, 0, 0))
-        self_v = jax.lax.dynamic_update_slice(self_v, vh[None].astype(self_v.dtype), (i, 0, 0, 0, 0))
+        self_k[i] = jax.lax.dynamic_update_slice(self_k[i], kh.astype(self_k[i].dtype), (0, 0, 0, 0))
+        self_v[i] = jax.lax.dynamic_update_slice(self_v[i], vh.astype(self_v[i].dtype), (0, 0, 0, 0))
         ctx = attention(qh, kh, vh, 1.0 / math.sqrt(config.head_dim), self_mask)
         hidden = layer_norm(sp["ln"], linear(sp["out"], merge_heads(ctx)) + hidden, config.layer_norm_eps)
 
         cp = layer["cross"]
         ck = split_heads(linear(cp["k"], encoder_hidden_states), heads)
         cv = split_heads(linear(cp["v"], encoder_hidden_states), heads)
-        cross_k = cross_k.at[i].set(ck.astype(cross_k.dtype))
-        cross_v = cross_v.at[i].set(cv.astype(cross_v.dtype))
+        cross_k[i] = ck.astype(cross_k[i].dtype)
+        cross_v[i] = cv.astype(cross_v[i].dtype)
         cq = split_heads(linear(cp["q"], hidden), heads)
         cctx = attention(cq, ck, cv, 1.0 / math.sqrt(config.head_dim), cross_mask)
         hidden = layer_norm(cp["ln"], linear(cp["out"], merge_heads(cctx)) + hidden, config.layer_norm_eps)
 
         hidden = _mlp(layer["mlp"], hidden, config)
     logits = bert_lm_head(params, hidden)
-    return logits, DecodeCache(self_k, self_v, cross_k, cross_v)
+    return logits, DecodeCache(tuple(self_k), tuple(self_v), tuple(cross_k), tuple(cross_v))
 
 
 def bert_step(
@@ -353,6 +355,7 @@ def bert_step(
     encoder_attention_mask: jnp.ndarray,
     *,
     lora: Optional[LoraConfig] = None,
+    use_fused: bool = False,
 ) -> Tuple[jnp.ndarray, DecodeCache]:
     """One decode step: token at dynamic position ``index``.
 
@@ -362,16 +365,32 @@ def bert_step(
       key_mask: [B, T] 1 for attendable cache positions ≤ index (the caller builds
         this from its running sequence: pads masked for the longitudinal variant,
         all-ones-up-to-index for single/multi — HF semantics).
+      use_fused: route each layer through the fused Pallas kernel
+        (ops/fused_decode.py) when supported.
     Returns (logits [B, V], updated cache).
     """
     heads = config.num_attention_heads
     hidden = bert_embed(
         params, config, input_id[:, None], token_type_id[:, None], position_id[:, None],
-        dtype=cache.cross_k.dtype,
+        dtype=cache.cross_k[0].dtype,
     )
+    if use_fused and lora is None:
+        from cxrmate_tpu.ops.fused_decode import fused_layer_step
+
+        h = hidden[:, 0, :]
+        self_k, self_v = list(cache.self_k), list(cache.self_v)
+        for i, layer in enumerate(params["layers"]):
+            h, self_k[i], self_v[i] = fused_layer_step(
+                h, layer, self_k[i], self_v[i], cache.cross_k[i], cache.cross_v[i],
+                index, key_mask, encoder_attention_mask, eps=config.layer_norm_eps,
+            )
+        logits = bert_lm_head(params, h[:, None, :])
+        return logits[:, 0, :], DecodeCache(
+            tuple(self_k), tuple(self_v), cache.cross_k, cache.cross_v
+        )
     self_mask = padding_additive_mask(key_mask)  # [B,1,1,T]
     cross_mask = padding_additive_mask(encoder_attention_mask)
-    self_k, self_v = cache.self_k, cache.self_v
+    self_k, self_v = list(cache.self_k), list(cache.self_v)
     for i, layer in enumerate(params["layers"]):
         sp = layer["self"]
         if lora is not None:
@@ -382,8 +401,8 @@ def bert_step(
             k = linear(sp["k"], hidden)
         v = linear(sp["v"], hidden)
         qh, kh, vh = (split_heads(t, heads) for t in (q, k, v))  # [B,H,1,Dh]
-        self_k = jax.lax.dynamic_update_slice(self_k, kh[None].astype(self_k.dtype), (i, 0, 0, index, 0))
-        self_v = jax.lax.dynamic_update_slice(self_v, vh[None].astype(self_v.dtype), (i, 0, 0, index, 0))
+        self_k[i] = jax.lax.dynamic_update_slice(self_k[i], kh.astype(self_k[i].dtype), (0, 0, index, 0))
+        self_v[i] = jax.lax.dynamic_update_slice(self_v[i], vh.astype(self_v[i].dtype), (0, 0, index, 0))
         ctx = attention(qh, self_k[i], self_v[i], 1.0 / math.sqrt(config.head_dim), self_mask)
         hidden = layer_norm(sp["ln"], linear(sp["out"], merge_heads(ctx)) + hidden, config.layer_norm_eps)
 
@@ -394,4 +413,4 @@ def bert_step(
 
         hidden = _mlp(layer["mlp"], hidden, config)
     logits = bert_lm_head(params, hidden)
-    return logits[:, 0, :], DecodeCache(self_k, self_v, cache.cross_k, cache.cross_v)
+    return logits[:, 0, :], DecodeCache(tuple(self_k), tuple(self_v), cache.cross_k, cache.cross_v)
