@@ -10,8 +10,8 @@ Prints ONE JSON line:
 
 vs_baseline = TPU studies/sec ÷ single-process CPU studies/sec (the reference's
 torch pipeline is CPU/GPU-bound per study; the driver's north star is ≥20× the CPU
-baseline). The CPU baseline is measured once on this machine with a trimmed decode
-(extrapolated to 256 steps) and cached in .bench_cpu_baseline.json.
+baseline). The CPU baseline is one full single-study pipeline run at fp32, measured
+once on this machine and cached in .bench_cpu_baseline.json.
 """
 
 import json
@@ -102,8 +102,7 @@ def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=
 
 
 def cpu_baseline():
-    """Measure (or load) the CPU studies/sec baseline: one study, trimmed decode
-    extrapolated to the full 256 steps."""
+    """Measure (or load) the CPU studies/sec baseline: one full study at fp32."""
     if os.path.exists(CACHE_FILE):
         with open(CACHE_FILE) as f:
             return json.load(f)["studies_per_sec"]

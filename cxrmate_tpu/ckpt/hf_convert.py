@@ -179,6 +179,84 @@ def convert_bert_decoder(sd: Dict, config: BertDecoderConfig, prefix: str = "") 
     return params
 
 
+def export_encoder_decoder(variables: Dict, enc_cfg: CvtConfig, dec_cfg: BertDecoderConfig) -> Dict:
+    """Inverse of :func:`convert_encoder_decoder`: our pytrees → a torch-layout
+    state dict (numpy tensors) usable with the reference's HF classes / push-to-hub
+    flow (the role of the reference's ``*_model_to_hub.ipynb`` notebooks)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put_lin(key, p):
+        out[f"{key}.weight"] = np.asarray(p["w"]).T
+        if "b" in p:
+            out[f"{key}.bias"] = np.asarray(p["b"])
+
+    def put_ln(key, p):
+        out[f"{key}.weight"] = np.asarray(p["scale"])
+        out[f"{key}.bias"] = np.asarray(p["bias"])
+
+    enc, stats = variables["params"]["encoder"], variables["batch_stats"]
+    for s in range(enc_cfg.num_stages):
+        st = f"encoder.cvt.encoder.stages.{s}"
+        emb = f"{st}.embedding.convolution_embeddings"
+        sp = enc["stages"][s]
+        out[f"{emb}.projection.weight"] = np.asarray(sp["embed"]["w"]).transpose(3, 2, 0, 1)
+        out[f"{emb}.projection.bias"] = np.asarray(sp["embed"]["b"])
+        put_ln(f"{emb}.normalization", sp["embed"]["ln"])
+        if enc_cfg.cls_token[s]:
+            out[f"{st}.cls_token"] = np.asarray(sp["cls_token"])
+        for l, lp in enumerate(sp["layers"]):
+            ly = f"{st}.layers.{l}"
+            at = f"{ly}.attention.attention"
+            ls = stats["stages"][s]["layers"][l]
+            for name, hf in (("q", "query"), ("k", "key"), ("v", "value")):
+                cp = f"{at}.convolution_projection_{hf}.convolution_projection"
+                out[f"{cp}.convolution.weight"] = np.asarray(lp["attn"][f"conv_{name}"]["w"]).transpose(3, 2, 0, 1)
+                put_ln(f"{cp}.normalization", lp["attn"][f"bn_{name}"])
+                out[f"{cp}.normalization.running_mean"] = np.asarray(ls[f"bn_{name}"]["mean"])
+                out[f"{cp}.normalization.running_var"] = np.asarray(ls[f"bn_{name}"]["var"])
+                put_lin(f"{at}.projection_{hf}", lp["attn"][name])
+            put_lin(f"{ly}.attention.output.dense", lp["attn"]["out"])
+            put_lin(f"{ly}.intermediate.dense", lp["mlp"]["fc1"])
+            put_lin(f"{ly}.output.dense", lp["mlp"]["fc2"])
+            put_ln(f"{ly}.layernorm_before", lp["ln_before"])
+            put_ln(f"{ly}.layernorm_after", lp["ln_after"])
+    put_ln("encoder.projection_head.layer_norm", enc["projection_head"]["ln"])
+    out["encoder.projection_head.projection.weight"] = np.asarray(enc["projection_head"]["proj"]["w"]).T
+
+    dec = variables["params"]["decoder"]
+    e = dec["embeddings"]
+    out["decoder.bert.embeddings.word_embeddings.weight"] = np.asarray(e["word"])
+    out["decoder.bert.embeddings.position_embeddings.weight"] = np.asarray(e["position"])
+    out["decoder.bert.embeddings.token_type_embeddings.weight"] = np.asarray(e["token_type"])
+    put_ln("decoder.bert.embeddings.LayerNorm", e["ln"])
+    for l, layer in enumerate(dec["layers"]):
+        ly = f"decoder.bert.encoder.layer.{l}"
+        put_lin(f"{ly}.attention.self.query", {k: v for k, v in layer["self"]["q"].items() if k in ("w", "b")})
+        put_lin(f"{ly}.attention.self.key", {k: v for k, v in layer["self"]["k"].items() if k in ("w", "b")})
+        put_lin(f"{ly}.attention.self.value", layer["self"]["v"])
+        put_lin(f"{ly}.attention.output.dense", layer["self"]["out"])
+        put_ln(f"{ly}.attention.output.LayerNorm", layer["self"]["ln"])
+        for name, src in (("q", "query"), ("k", "key")):
+            if "lora_a" in layer["self"][name]:
+                out[f"{ly}.attention.self.{src}.lora_A.default.weight"] = np.asarray(layer["self"][name]["lora_a"]).T
+                out[f"{ly}.attention.self.{src}.lora_B.default.weight"] = np.asarray(layer["self"][name]["lora_b"]).T
+        if "cross" in layer:
+            put_lin(f"{ly}.crossattention.self.query", layer["cross"]["q"])
+            put_lin(f"{ly}.crossattention.self.key", layer["cross"]["k"])
+            put_lin(f"{ly}.crossattention.self.value", layer["cross"]["v"])
+            put_lin(f"{ly}.crossattention.output.dense", layer["cross"]["out"])
+            put_ln(f"{ly}.crossattention.output.LayerNorm", layer["cross"]["ln"])
+        put_lin(f"{ly}.intermediate.dense", layer["mlp"]["fc1"])
+        put_lin(f"{ly}.output.dense", layer["mlp"]["fc2"])
+        put_ln(f"{ly}.output.LayerNorm", layer["mlp"]["ln"])
+    put_lin("decoder.cls.predictions.transform.dense", dec["lm_head"]["transform"])
+    put_ln("decoder.cls.predictions.transform.LayerNorm", dec["lm_head"]["ln"])
+    out["decoder.cls.predictions.decoder.weight"] = np.asarray(dec["lm_head"]["decoder"]["w"]).T
+    out["decoder.cls.predictions.bias"] = np.asarray(dec["lm_head"]["decoder"]["b"])
+    out["decoder.cls.predictions.decoder.bias"] = out["decoder.cls.predictions.bias"]
+    return out
+
+
 def convert_encoder_decoder(sd: Dict, enc_cfg: CvtConfig, dec_cfg: BertDecoderConfig) -> Dict:
     """Convert a full ``*CXREncoderDecoderModel`` state dict (keys ``encoder.*`` +
     ``decoder.*``) into {'params': {'encoder','decoder'}, 'batch_stats': ...}."""

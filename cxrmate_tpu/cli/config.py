@@ -83,6 +83,7 @@ class TaskConfig:
     multi_ckpt_name: Optional[str] = None
     test_ckpt_name: Optional[str] = None
     resume_last: bool = False
+    fast_dev_run: bool = False  # 1-batch/1-epoch dry run (stages.py:97-99 analogue)
 
     # TPU parallelism
     mesh_data: Optional[int] = None

@@ -254,6 +254,7 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
                 max_images=task.max_images_per_study, drop_last=True,
             )
         )
+        n_batches = 0
         for batch in it:
             tf_batch = build_tf_batch(
                 tokenizer, config, batch["images"].astype(np.float32),
@@ -262,15 +263,18 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
             )
             rng, k = jax.random.split(rng)
             state, loss = step(state, {k2: jnp.asarray(v) for k2, v in tf_batch.items()}, k)
+            n_batches += 1
+            if task.fast_dev_run and n_batches >= 1:
+                break
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1, epoch)
-        monitor_value = scores.get(
-            f"val_report_chexbert_f1_macro", scores.get("val_report_nlg_bleu_4")
-        )
+        monitor_value = scores.get(task.monitor)
         orbax_io.save_checkpoint(
             task.exp_dir_trial, state, epoch, monitor_value,
             monitor=task.monitor, mode=task.monitor_mode,
         )
+        if task.fast_dev_run:
+            break
 
 
 def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:

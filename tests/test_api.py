@@ -75,3 +75,23 @@ def test_from_hf_checkpoint_and_generate(hf_dir, monkeypatch):
         jax.tree_util.tree_leaves(model.variables["params"]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_export_roundtrip(hf_dir):
+    """our params → torch-layout state dict → converted back == identity."""
+    import jax
+    from cxrmate_tpu.ckpt.hf_convert import convert_encoder_decoder, export_encoder_decoder
+    from tests.oracles import small_bert_cfg_dataclass, small_cvt_cfg_dataclass
+
+    path, ref_model = hf_dir
+    enc_cfg = small_cvt_cfg_dataclass(projection_size=32)
+    dec_cfg = small_bert_cfg_dataclass(vocab_size=97, cross_dim=32)
+    variables = convert_encoder_decoder(ref_model.state_dict(), enc_cfg, dec_cfg)
+    exported = export_encoder_decoder(variables, enc_cfg, dec_cfg)
+    back = convert_encoder_decoder(exported, enc_cfg, dec_cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(variables), jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the exported dict round-trips through the reference model itself
+    import torch as _torch
+
+    ref_model.load_state_dict({k: _torch.from_numpy(np.array(v)) for k, v in exported.items()})

@@ -52,6 +52,7 @@ def test_fused_layer_matches_xla(dtype):
     index = jnp.asarray(5, jnp.int32)
     key_mask = jnp.asarray((rng.rand(b, t) > 0.3).astype(np.int32))
     key_mask = key_mask.at[:, 5].set(1)
+    key_mask = key_mask.at[0, 5].set(0)  # a masked (pad) query row — must not self-attend
     key_mask = key_mask * (np.arange(t) <= 5)
     cross_mask = jnp.asarray((rng.rand(b, s) > 0.2).astype(np.int32))
 
