@@ -57,7 +57,10 @@ def make_pipeline(config, variables, batch, decode_tokens):
         special_token_ids=(3,),
     )
 
-    use_fused = os.environ.get("CXRMATE_BENCH_FUSED", "1") == "1"
+    # fused decode kernel compiles correctly but Mosaic compile time through the
+    # remote-compile tunnel is prohibitive (>25 min); off by default pending a
+    # grid-over-heads restructure
+    use_fused = os.environ.get("CXRMATE_BENCH_FUSED", "0") == "1"
 
     @jax.jit
     def pipeline(variables, pixels):
