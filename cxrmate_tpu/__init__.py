@@ -7,3 +7,7 @@ greedy/beam/sampled decoding with a static KV cache, and the full evaluation sta
 """
 
 __version__ = "0.1.0"
+
+from cxrmate_tpu import configs  # noqa: E402,F401
+
+__all__ = ["configs"]

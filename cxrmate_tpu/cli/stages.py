@@ -121,7 +121,9 @@ def make_datasets(task: TaskConfig, split: str, train: bool):
     )
 
 
-def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None):
+def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
+                 bertscorer=None):
+    from cxrmate_tpu.eval.bertscore import BERTScoreMetric
     from cxrmate_tpu.eval.metrics import COCONLGMetrics, CheXbertMetrics, CXRBERTMetric
 
     accumulate = task.variant == "single"
@@ -138,6 +140,10 @@ def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None)
         if reward_fn is not None and split == "test":
             out[f"{split}_{section}_cxr-bert"] = CXRBERTMetric(
                 f"{split}_{section}", task.exp_dir_trial, accumulate, reward_fn, task.mbatch_size
+            )
+        if bertscorer is not None and split == "test":
+            out[f"{split}_{section}_bertscore"] = BERTScoreMetric(
+                f"{split}_{section}", task.exp_dir_trial, accumulate, bertscorer, task.mbatch_size
             )
     return out
 
@@ -356,7 +362,7 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
         )
 
 
-def test(task: TaskConfig, chexbert_fn=None, reward_fn=None) -> Dict:
+def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) -> Dict:
     from cxrmate_tpu.eval.metrics import ReportLogger, ReportTokenIdentifiersLogger
 
     tokenizer = load_tokenizer(task)
@@ -373,7 +379,8 @@ def test(task: TaskConfig, chexbert_fn=None, reward_fn=None) -> Dict:
             state = orbax_io.restore_checkpoint(best, None)
             variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
     test_set = make_datasets(task, "test", train=False)
-    metrics = make_metrics(task, "test", reward_fn=reward_fn, chexbert_fn=chexbert_fn)
+    metrics = make_metrics(task, "test", reward_fn=reward_fn, chexbert_fn=chexbert_fn,
+                           bertscorer=bertscorer)
     loggers = (
         ReportLogger("test_reports", task.exp_dir_trial, task.variant == "single"),
         ReportTokenIdentifiersLogger("test_report_ids", task.exp_dir_trial, task.variant == "single"),

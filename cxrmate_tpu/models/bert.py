@@ -375,12 +375,12 @@ def bert_step(
         dtype=cache.cross_k[0].dtype,
     )
     if use_fused and lora is None:
-        from cxrmate_tpu.ops.fused_decode import fused_layer_step
+        from cxrmate_tpu.ops.fused_decode import fused_layer_step_v2
 
         h = hidden[:, 0, :]
         self_k, self_v = list(cache.self_k), list(cache.self_v)
         for i, layer in enumerate(params["layers"]):
-            h, self_k[i], self_v[i] = fused_layer_step(
+            h, self_k[i], self_v[i] = fused_layer_step_v2(
                 h, layer, self_k[i], self_v[i], cache.cross_k[i], cache.cross_v[i],
                 index, key_mask, encoder_attention_mask, eps=config.layer_norm_eps,
             )

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from cxrmate_tpu.configs import BertDecoderConfig
 from cxrmate_tpu.models import bert as bert_mod
-from cxrmate_tpu.ops.fused_decode import fused_layer_step, supports
+from cxrmate_tpu.ops.fused_decode import fused_layer_step, fused_layer_step_v2, supports
 from cxrmate_tpu.ops.layers import attention, layer_norm, linear, merge_heads, split_heads
 
 
@@ -63,7 +63,15 @@ def test_fused_layer_matches_xla(dtype):
         hidden, layer, cache_k, cache_v, cross_k, cross_v, index, key_mask, cross_mask,
         eps=cfg.layer_norm_eps, interpret=True,
     )
+    got2_h, got2_k, got2_v = fused_layer_step_v2(
+        hidden, layer, cache_k, cache_v, cross_k, cross_v, index, key_mask, cross_mask,
+        eps=cfg.layer_norm_eps, interpret=True,
+    )
     tol = 1e-5 if dtype == jnp.float32 else 5e-2
+    for g, e in ((got2_h, got_h), (got2_k, got_k), (got2_v, got_v)):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(e, np.float32), rtol=tol, atol=tol
+        )
     np.testing.assert_allclose(
         np.asarray(got_h, np.float32), np.asarray(expected_h, np.float32), rtol=tol, atol=tol
     )
