@@ -58,6 +58,16 @@ def save_checkpoint(
             index.pop(k, None)
     with open(index_path, "w") as f:
         json.dump(index, f, indent=1)
+    # also maintain a Lightning-style "last" checkpoint for resume_last
+    last_path = _ckpt_dir(exp_dir_trial, "last")
+    if os.path.exists(last_path):
+        import shutil
+
+        shutil.rmtree(last_path)
+    ckptr.save(os.path.abspath(last_path), state, force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(last_path, "EPOCH"), "w") as f:
+        f.write(str(epoch))
     return path
 
 
@@ -81,6 +91,11 @@ def best_checkpoint(exp_dir_trial: str, mode: str = "max") -> Optional[str]:
 
 
 def last_checkpoint(exp_dir_trial: str) -> Optional[str]:
+    """The most recent checkpoint: the dedicated 'last' save if present, else the
+    newest indexed one."""
+    last_path = _ckpt_dir(exp_dir_trial, "last")
+    if os.path.exists(last_path):
+        return last_path
     index_path = os.path.join(exp_dir_trial, "checkpoints", "index.json")
     if not os.path.exists(index_path):
         return None
@@ -90,6 +105,15 @@ def last_checkpoint(exp_dir_trial: str) -> Optional[str]:
         return None
     tag = max(index.items(), key=lambda kv: kv[1]["epoch"])[0]
     return _ckpt_dir(exp_dir_trial, tag)
+
+
+def last_checkpoint_epoch(exp_dir_trial: str) -> Optional[int]:
+    last_path = _ckpt_dir(exp_dir_trial, "last")
+    marker = os.path.join(last_path, "EPOCH")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read().strip())
+    return None
 
 
 def restore_checkpoint(path: str, target: Any) -> Any:

@@ -248,12 +248,22 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
     state = create_train_state(variables, tx)
     step = make_train_step(config, tx, trainable_mask=mask, pad_id=tokenizer.pad_token_id)
 
+    start_epoch = 0
+    if task.resume_last:
+        last = orbax_io.last_checkpoint(task.exp_dir_trial)
+        if last:
+            state = orbax_io.restore_checkpoint(last, state)
+            epoch_marker = orbax_io.last_checkpoint_epoch(task.exp_dir_trial)
+            if epoch_marker is None:
+                epoch_marker = int(os.path.basename(last).split("epoch=")[1].split("-")[0])
+            start_epoch = epoch_marker + 1
+
     train_set = make_datasets(task, "train", train=True)
     val_set = make_datasets(task, "validate", train=False)
     metrics = make_metrics(task, "val", chexbert_fn=chexbert_fn)
     rng = jax.random.PRNGKey(task.trial)
 
-    for epoch in range(task.max_epochs):
+    for epoch in range(start_epoch, task.max_epochs):
         it = Prefetcher(
             batch_iterator(
                 train_set, task.mbatch_size, shuffle=True, seed=epoch,

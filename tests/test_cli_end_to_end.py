@@ -139,3 +139,17 @@ def test_fit_scst_gen_prompt(synthetic_dataset):
     fit_scst(task, reward_fn)
     ckpts = glob.glob(os.path.join(task.exp_dir_trial, "checkpoints", "epoch=*"))
     assert ckpts
+
+
+def test_fit_resume_last(synthetic_dataset):
+    from cxrmate_tpu.ckpt import orbax_io
+
+    root = synthetic_dataset
+    task = _task(root, "multi", trial=3, max_epochs=1)
+    fit(task)
+    first = glob.glob(os.path.join(task.exp_dir_trial, "checkpoints", "epoch=*"))
+    assert len(first) >= 1
+    # resume and train one more epoch
+    task2 = _task(root, "multi", trial=3, max_epochs=2, resume_last=True)
+    fit(task2)
+    assert orbax_io.last_checkpoint_epoch(task2.exp_dir_trial) == 1
