@@ -135,22 +135,18 @@ def convert_bert_decoder(sd: Dict, config: BertDecoderConfig, prefix: str = "") 
         "lm_head": {
             "transform": _lin(sd, f"{p}cls.predictions.transform.dense"),
             "ln": _ln(sd, f"{p}cls.predictions.transform.LayerNorm"),
-            "decoder": {
-                # BertLMHeadModel ties the LM projection to the word embeddings
-                # (BertConfig.tie_word_embeddings default); safetensors checkpoints
-                # drop the aliased tensor, so fall back to the embedding matrix.
-                "w": jnp.asarray(
-                    _np(
-                        sd.get(
-                            f"{p}cls.predictions.decoder.weight",
-                            sd[f"{p}bert.embeddings.word_embeddings.weight"],
-                        )
-                    ).T
-                ),
-                "b": jnp.asarray(_np(sd[f"{p}cls.predictions.bias"])),
-            },
+            "decoder": {"b": jnp.asarray(_np(sd[f"{p}cls.predictions.bias"]))},
         },
     }
+    # BertLMHeadModel ties the LM projection to the word embeddings by default
+    # (safetensors checkpoints drop the alias entirely). Keep a separate weight only
+    # for genuinely untied checkpoints; tied heads reuse embeddings.word so training
+    # gradients flow like torch's.
+    head_key = f"{p}cls.predictions.decoder.weight"
+    if head_key in sd:
+        head_w = _np(sd[head_key])
+        if not np.array_equal(head_w, _np(sd[f"{p}bert.embeddings.word_embeddings.weight"])):
+            params["lm_head"]["decoder"]["w"] = jnp.asarray(head_w.T)
     for l in range(config.num_hidden_layers):
         ly = f"{p}bert.encoder.layer.{l}"
         layer = {
@@ -251,8 +247,10 @@ def export_encoder_decoder(variables: Dict, enc_cfg: CvtConfig, dec_cfg: BertDec
         put_ln(f"{ly}.output.LayerNorm", layer["mlp"]["ln"])
     put_lin("decoder.cls.predictions.transform.dense", dec["lm_head"]["transform"])
     put_ln("decoder.cls.predictions.transform.LayerNorm", dec["lm_head"]["ln"])
-    out["decoder.cls.predictions.decoder.weight"] = np.asarray(dec["lm_head"]["decoder"]["w"]).T
-    out["decoder.cls.predictions.bias"] = np.asarray(dec["lm_head"]["decoder"]["b"])
+    head = dec["lm_head"]["decoder"]
+    head_w = np.asarray(head["w"]).T if "w" in head else np.asarray(e["word"])
+    out["decoder.cls.predictions.decoder.weight"] = head_w
+    out["decoder.cls.predictions.bias"] = np.asarray(head["b"])
     out["decoder.cls.predictions.decoder.bias"] = out["decoder.cls.predictions.bias"]
     return out
 

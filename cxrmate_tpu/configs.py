@@ -82,6 +82,9 @@ class BertDecoderConfig:
     pad_token_id: int = 4
     add_cross_attention: bool = True
     cross_attention_hidden_size: int = 768  # encoder projection size
+    # HF BertConfig default: the LM projection shares the word-embedding matrix
+    # (the released cxrmate checkpoints are tied — safetensors drops the alias)
+    tie_word_embeddings: bool = True
 
     @property
     def head_dim(self) -> int:

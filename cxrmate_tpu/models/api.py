@@ -32,6 +32,67 @@ from cxrmate_tpu.tokenizer import ByteLevelBPETokenizer
 from cxrmate_tpu.utils.precision import cast_floats
 
 
+def config_from_hf_dir(path: str, variant: str, vocab_size: int) -> model_configs.EncoderDecoderConfig:
+    """Build the model config from a checkpoint directory's config.json
+    (VisionEncoderDecoderConfig layout: nested encoder/decoder dicts), falling back
+    to the cxrmate presets for missing fields."""
+    import json
+
+    if variant == "single":
+        config = model_configs.single_tf_config(vocab_size)
+    elif variant == "multi":
+        config = model_configs.multi_tf_config(vocab_size)
+    else:
+        config = model_configs.longitudinal_config(vocab_size)
+    cfg_path = os.path.join(path, "config.json")
+    if not os.path.exists(cfg_path):
+        return config
+    with open(cfg_path) as f:
+        hf = json.load(f)
+    enc, dec = hf.get("encoder", {}), hf.get("decoder", {})
+
+    def tup(v, default):
+        return tuple(v) if v is not None else default
+
+    e = config.encoder
+    encoder = dataclasses.replace(
+        e,
+        num_channels=enc.get("num_channels", e.num_channels),
+        patch_sizes=tup(enc.get("patch_sizes"), e.patch_sizes),
+        patch_stride=tup(enc.get("patch_stride"), e.patch_stride),
+        patch_padding=tup(enc.get("patch_padding"), e.patch_padding),
+        embed_dim=tup(enc.get("embed_dim"), e.embed_dim),
+        num_heads=tup(enc.get("num_heads"), e.num_heads),
+        depth=tup(enc.get("depth"), e.depth),
+        mlp_ratio=tup(enc.get("mlp_ratio"), e.mlp_ratio),
+        qkv_bias=tup(enc.get("qkv_bias"), e.qkv_bias),
+        cls_token=tup(enc.get("cls_token"), e.cls_token),
+        kernel_qkv=tup(enc.get("kernel_qkv"), e.kernel_qkv),
+        padding_kv=tup(enc.get("padding_kv"), e.padding_kv),
+        stride_kv=tup(enc.get("stride_kv"), e.stride_kv),
+        padding_q=tup(enc.get("padding_q"), e.padding_q),
+        stride_q=tup(enc.get("stride_q"), e.stride_q),
+        drop_path_rate=tup(enc.get("drop_path_rate"), e.drop_path_rate),
+        layer_norm_eps=enc.get("layer_norm_eps", e.layer_norm_eps),
+        projection_size=enc.get("projection_size", e.projection_size),
+    )
+    d = config.decoder
+    decoder = dataclasses.replace(
+        d,
+        vocab_size=dec.get("vocab_size", vocab_size),
+        hidden_size=dec.get("hidden_size", d.hidden_size),
+        num_hidden_layers=dec.get("num_hidden_layers", d.num_hidden_layers),
+        num_attention_heads=dec.get("num_attention_heads", d.num_attention_heads),
+        intermediate_size=dec.get("intermediate_size", d.intermediate_size),
+        max_position_embeddings=dec.get("max_position_embeddings", d.max_position_embeddings),
+        type_vocab_size=dec.get("type_vocab_size", d.type_vocab_size),
+        layer_norm_eps=dec.get("layer_norm_eps", d.layer_norm_eps),
+        pad_token_id=dec.get("pad_token_id", d.pad_token_id),
+        cross_attention_hidden_size=enc.get("projection_size", d.cross_attention_hidden_size),
+    )
+    return dataclasses.replace(config, encoder=encoder, decoder=decoder)
+
+
 @dataclasses.dataclass
 class CXRMate:
     config: model_configs.EncoderDecoderConfig
@@ -47,12 +108,7 @@ class CXRMate:
 
         tokenizer = ByteLevelBPETokenizer.from_file(path)
         sd = load_hf_pretrained_dir(path)
-        if variant == "single":
-            config = model_configs.single_tf_config(len(tokenizer))
-        elif variant == "multi":
-            config = model_configs.multi_tf_config(len(tokenizer))
-        else:
-            config = model_configs.longitudinal_config(len(tokenizer))
+        config = config_from_hf_dir(path, variant, len(tokenizer))
         variables = convert_encoder_decoder(sd, config.encoder, config.decoder)
         if not any(
             "lora_a" in layer.get("self", {}).get("q", {})

@@ -97,10 +97,14 @@ def init_bert_params(rng, config: BertDecoderConfig, lora: Optional[LoraConfig] 
                 layer["self"][name]["lora_b"] = jnp.zeros((lora.r, d))
         params["layers"].append(layer)
     rng, k4, k5 = jax.random.split(rng, 3)
+    decoder_head = {"b": jnp.zeros((config.vocab_size,))}
+    if not config.tie_word_embeddings:
+        decoder_head["w"] = jax.random.normal(k5, (d, config.vocab_size)) * 0.02
     params["lm_head"] = {
         "transform": _linear_init(k4, d, d),
         "ln": _ln_init(d),
-        "decoder": {"w": jax.random.normal(k5, (d, config.vocab_size)) * 0.02, "b": jnp.zeros((config.vocab_size,))},
+        # tied head: the projection reuses embeddings.word (see bert_lm_head)
+        "decoder": decoder_head,
     }
     return params
 
@@ -200,7 +204,14 @@ def bert_lm_head(params, hidden) -> jnp.ndarray:
     h = linear(params["lm_head"]["transform"], hidden)
     h = gelu(h)
     h = layer_norm(params["lm_head"]["ln"], h, 1e-12)
-    return linear(params["lm_head"]["decoder"], h)
+    head = params["lm_head"]["decoder"]
+    if "w" in head:
+        return linear(head, h)
+    # tied projection: share the word-embedding matrix (HF tie_word_embeddings),
+    # so embedding gradients include the LM-head term exactly like torch
+    w = params["embeddings"]["word"]
+    logits = jnp.matmul(h, w.T, preferred_element_type=jnp.float32)
+    return (logits + head["b"].astype(jnp.float32)).astype(h.dtype)
 
 
 def causal_additive_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:

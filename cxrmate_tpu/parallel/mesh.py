@@ -85,7 +85,11 @@ def decoder_param_specs(params: dict) -> dict:
         "lm_head": {
             "transform": {"w": P(None, None), "b": P(None)},
             "ln": {"scale": P(None), "bias": P(None)},
-            "decoder": {"w": P(None, "model"), "b": P("model")},  # vocab-sharded
+            "decoder": (
+                {"w": P(None, "model"), "b": P("model")}
+                if "w" in params["lm_head"]["decoder"]
+                else {"b": P("model")}  # tied head: projection = embeddings.word
+            ),
         },
     }
 
