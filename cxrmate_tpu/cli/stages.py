@@ -118,6 +118,7 @@ def make_datasets(task: TaskConfig, split: str, train: bool):
         use_generated=task.variant in ("gen_prompt", "scst"),
         scst_generated=task.variant == "scst" and train and split == "train",
         mbatch_size=task.mbatch_size,
+        world_size=jax.process_count(),
     )
 
 
@@ -268,6 +269,7 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
             batch_iterator(
                 train_set, task.mbatch_size, shuffle=True, seed=epoch,
                 max_images=task.max_images_per_study, drop_last=True,
+                rank=jax.process_index(), world_size=jax.process_count(),
             )
         )
         n_batches = 0
@@ -344,9 +346,12 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
             seed=(epoch + task.trial + 1) * (task.trial + 1)
         )
         train_set.reset_generated()
+        # DistributedSampler(shuffle=False) semantics: rank-strided, in allocator order
+        # (scst/gen_prompt.py:118); lanes were packed per rank×mbatch slot
         it = Prefetcher(
             batch_iterator(train_set, task.mbatch_size, max_images=task.max_images_per_study,
-                           drop_last=True)
+                           drop_last=True, rank=jax.process_index(),
+                           world_size=jax.process_count())
         )
         for batch in it:
             prompt = ed.tokenize_prompt(
