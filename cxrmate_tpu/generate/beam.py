@@ -58,6 +58,7 @@ def beam_search(
     vocab = dcfg.vocab_size
     masked_pads = gen_cfg.mask_token_id is not None
     penalty = gen_cfg.length_penalty
+    early_stopping = gen_cfg.early_stopping
 
     # ---- prefill once per batch item ----
     prompt_types = ed.token_ids_to_token_type_ids(
@@ -117,6 +118,10 @@ def beam_search(
         can_finalise = hits & top_k_mask[None, :]
         lp_scores = lp_scores + jnp.where(can_finalise, 0.0, NEG)
         lp_scores = lp_scores + jnp.where(early_unsat, 0.0, NEG)
+        if early_stopping:
+            # HF: once a batch's beams are all finished, no further additions
+            beams_full = jnp.all(is_fin, axis=-1, keepdims=True)
+            lp_scores = lp_scores + jnp.where(beams_full, NEG, 0.0)
         merged_seq = jnp.concatenate([fin_seq, topk_seq], axis=1)
         merged_scores = jnp.concatenate([fin_scores, lp_scores], axis=1)
         merged_fin = jnp.concatenate([is_fin, can_finalise], axis=1)
@@ -140,11 +145,15 @@ def beam_search(
         )
 
         cur = cur + 1
-        # early-stop heuristic (early_stopping=False)
+        # early-stop heuristic (HF _check_early_stop_heuristic, early_stopping False/True
+        # both use the current generated length as the best hypothetical length)
         best_possible = running_scores[:, :1] / ((cur - p_len).astype(jnp.float32) ** penalty)
         worst_fin = jnp.where(is_fin, jnp.min(fin_scores, axis=1, keepdims=True), NEG)
         early_unsat = early_unsat & jnp.any(best_possible > worst_fin, axis=-1, keepdims=True)
         all_hit = jnp.all(hits)
+        if early_stopping:
+            # exists_open_beam: stop once every batch item has all beams finished
+            all_hit = all_hit | jnp.all(is_fin)
         return (seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur), all_hit
 
     # ---- first step from prefill logits ----

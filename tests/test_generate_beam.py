@@ -117,3 +117,31 @@ def test_beam_parity_longitudinal():
     )
     got = np.asarray(got)
     np.testing.assert_array_equal(got, _pad_to(expected, got.shape[1], PAD))
+
+
+def test_beam_early_stopping_parity():
+    """early_stopping=True semantics also match HF."""
+    ref = build_reference_model("multi", vocab_size=97, seed=11)
+    cfg = _my_config("multi")
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(6)
+    pixels = rng.randn(2, 2, 3, 64, 64).astype(np.float32)
+    max_length = 12
+    with torch.no_grad():
+        expected = ref.generate(
+            pixel_values=torch.from_numpy(pixels),
+            special_token_ids=[SEP],
+            max_length=max_length, early_stopping=True,
+            bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+            num_beams=3, return_dict_in_generate=True, use_cache=True,
+        )["sequences"].numpy()
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pixels), cfg)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=max_length - 1, bos_token_id=BOS, eos_token_id=EOS,
+        pad_token_id=PAD, special_token_ids=(SEP,), num_beams=3, early_stopping=True,
+    )
+    prompt = jnp.full((2, 1), BOS, jnp.int32)
+    got, _ = beam_search(variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt,
+                         jnp.ones((2, 1), jnp.int32))
+    got = np.asarray(got)
+    np.testing.assert_array_equal(got, _pad_to(expected, got.shape[1], PAD))
