@@ -30,11 +30,13 @@ def load_image(path: str, colour_space: str = "RGB"):
 
 
 def resize_shortest_edge(img, size: int):
+    """torchvision Resize(int) semantics: shortest edge → size, long edge scaled
+    with int TRUNCATION (torchvision _compute_resized_output_size), PIL bilinear."""
     w, h = img.size
     if w <= h:
-        nw, nh = size, int(round(size * h / w))
+        nw, nh = size, int(size * h / w)
     else:
-        nw, nh = int(round(size * w / h)), size
+        nw, nh = int(size * w / h), size
     if (nw, nh) == (w, h):
         return img
     return img.resize((nw, nh), Image.BILINEAR)
