@@ -159,8 +159,17 @@ def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: i
             batch["previous_findings"], batch["previous_impression"], tokenizer,
             task.decoder_max_len, add_bos_token_id=True,
         )
-        prompt_ids = jnp.asarray(prompt["input_ids"].astype(np.int32))
-        prompt_mask = jnp.asarray(prompt["attention_mask"].astype(np.int32))
+        # bucket prompt widths so XLA compiles a handful of decode programs; the
+        # first-token logits column is pinned to the true batch-longest width so
+        # outputs equal the unbucketed batch exactly
+        true_width = prompt["input_ids"].shape[1]
+        ids_b, mask_b = ed.bucket_prompt(
+            prompt["input_ids"], prompt["attention_mask"], tokenizer.pad_token_id,
+            bucket=32, max_len=task.decoder_max_len,
+        )
+        prompt_ids = jnp.asarray(ids_b.astype(np.int32))
+        prompt_mask = jnp.asarray(mask_b.astype(np.int32))
+        prompt_logits_col = true_width - 1
         pmt_sep = tokenizer.vocab["[PMT-SEP]"]
         specials = (pmt_sep, tokenizer.bos_token_id, tokenizer.sep_token_id)
         gen_cfg = GenerationConfig(
@@ -175,6 +184,7 @@ def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: i
         b = pixels.shape[0]
         prompt_ids = jnp.full((b, 1), tokenizer.bos_token_id, jnp.int32)
         prompt_mask = jnp.ones((b, 1), jnp.int32)
+        prompt_logits_col = None
         if task.variant == "single":
             enc_mask = jnp.ones_like(enc_mask)
         gen_cfg = GenerationConfig(
@@ -187,9 +197,11 @@ def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: i
         split_specials = [tokenizer.sep_token_id, tokenizer.eos_token_id]
 
     if num_beams > 1:
-        seqs, _ = beam_search(variables, config, gen_cfg, enc_hidden, enc_mask, prompt_ids, prompt_mask)
+        seqs, _ = beam_search(variables, config, gen_cfg, enc_hidden, enc_mask,
+                              prompt_ids, prompt_mask, prompt_logits_col=prompt_logits_col)
     else:
-        seqs = generate(variables, config, gen_cfg, enc_hidden, enc_mask, prompt_ids, prompt_mask)
+        seqs = generate(variables, config, gen_cfg, enc_hidden, enc_mask, prompt_ids,
+                        prompt_mask, prompt_logits_col=prompt_logits_col)
     seqs = np.asarray(seqs)
     sections = ed.split_and_decode_sections(seqs, split_specials, tokenizer)
     if longitudinal:

@@ -34,7 +34,7 @@ def _gather_beams(tensor, beam_indices):
     return jnp.take_along_axis(tensor, idx.astype(jnp.int32), axis=1)
 
 
-@partial(jax.jit, static_argnames=("config", "gen_cfg"))
+@partial(jax.jit, static_argnames=("config", "gen_cfg", "prompt_logits_col"))
 def beam_search(
     variables,
     config: EncoderDecoderConfig,
@@ -43,6 +43,7 @@ def beam_search(
     encoder_mask: jnp.ndarray,
     prompt_ids: jnp.ndarray,
     prompt_mask: jnp.ndarray,
+    prompt_logits_col: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam-search decode → (sequences [B, P + max_new], scores [B]).
 
@@ -157,7 +158,8 @@ def beam_search(
         return (seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur), all_hit
 
     # ---- first step from prefill logits ----
-    lp0 = jax.nn.log_softmax(prefill_logits[:, -1, :].astype(jnp.float32), axis=-1)
+    first_col = p_len - 1 if prompt_logits_col is None else prompt_logits_col
+    lp0 = jax.nn.log_softmax(prefill_logits[:, first_col, :].astype(jnp.float32), axis=-1)
     lp0 = tile(lp0, 0)
     state0 = (seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, jnp.asarray(p_len, jnp.int32))
     state, all_hit0 = select_and_update(lp0, state0)

@@ -80,7 +80,10 @@ def _type_from_present(present: jnp.ndarray, gen_cfg: GenerationConfig) -> jnp.n
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "gen_cfg", "max_new_tokens_pad", "return_scores", "use_fused"),
+    static_argnames=(
+        "config", "gen_cfg", "max_new_tokens_pad", "return_scores", "use_fused",
+        "prompt_logits_col",
+    ),
 )
 def generate(
     variables,
@@ -95,6 +98,7 @@ def generate(
     max_new_tokens_pad: Optional[int] = None,
     return_scores: bool = False,
     use_fused: bool = False,
+    prompt_logits_col: Optional[int] = None,
 ):
     """Greedy or sampled decoding (num_beams == 1).
 
@@ -103,6 +107,11 @@ def generate(
       prompt_ids/prompt_mask: [B, P] — for single/multi pass a [B, 1] BOS column.
       return_scores: also return per-step pre-softmax logits [B, max_new, V]
         (the SCST sample path needs them, scst/gt_prompt.py:189).
+      prompt_logits_col: column of the prefill logits that issues the first token.
+        Defaults to the last prompt column (HF semantics, where the batch-longest
+        row's query is its final real token). When the prompt is bucket-padded
+        beyond the batch-longest width, pass the true longest width - 1 so results
+        are identical to the unbucketed batch.
     Returns:
       sequences [B, P + max_new] (+ scores if requested).
     """
@@ -152,7 +161,8 @@ def generate(
     # first next-token from the prefill logits at the last prompt column
     rng0 = rng if rng is not None else jax.random.PRNGKey(0)
     first_rng, loop_rng = jax.random.split(rng0)
-    tok0, logits0 = select_token(prefill_logits[:, -1, :], first_rng)
+    first_col = p_len - 1 if prompt_logits_col is None else prompt_logits_col
+    tok0, logits0 = select_token(prefill_logits[:, first_col, :], first_rng)
     finished0 = tok0 == gen_cfg.eos_token_id
     seq = jax.lax.dynamic_update_slice(seq, tok0[:, None], (0, p_len))
     new_mask0 = (tok0 != gen_cfg.mask_token_id).astype(jnp.int32) if masked_pads else jnp.ones((b,), jnp.int32)

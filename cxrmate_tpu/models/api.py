@@ -193,23 +193,31 @@ class CXRMate:
                 previous_findings, previous_impression, tok,
                 self.config.prompt_max_len, add_bos_token_id=True,
             )
-            prompt_ids = jnp.asarray(prompt["input_ids"].astype(np.int32))
-            prompt_mask = jnp.asarray(prompt["attention_mask"].astype(np.int32))
+            true_width = prompt["input_ids"].shape[1]
+            ids_b, mask_b = ed.bucket_prompt(
+                prompt["input_ids"], prompt["attention_mask"], tok.pad_token_id,
+                bucket=32, max_len=self.config.prompt_max_len,
+            )
+            prompt_ids = jnp.asarray(ids_b.astype(np.int32))
+            prompt_mask = jnp.asarray(mask_b.astype(np.int32))
+            prompt_logits_col = true_width - 1
             split_specials = [tok.bos_token_id, tok.sep_token_id, tok.eos_token_id]
         else:
             prompt_ids = jnp.full((b, 1), tok.bos_token_id, jnp.int32)
             prompt_mask = jnp.ones((b, 1), jnp.int32)
+            prompt_logits_col = None
             split_specials = [tok.sep_token_id, tok.eos_token_id]
 
         gen_cfg = self._gen_cfg(num_beams, max_new_tokens, do_sample, top_k, top_p, temperature)
         if num_beams > 1:
             seqs, _ = beam_search(
-                self.variables, self.config, gen_cfg, enc_hidden, enc_mask, prompt_ids, prompt_mask
+                self.variables, self.config, gen_cfg, enc_hidden, enc_mask,
+                prompt_ids, prompt_mask, prompt_logits_col=prompt_logits_col,
             )
         else:
             seqs = generate(
                 self.variables, self.config, gen_cfg, enc_hidden, enc_mask,
-                prompt_ids, prompt_mask, rng,
+                prompt_ids, prompt_mask, rng, prompt_logits_col=prompt_logits_col,
             )
         sections = ed.split_and_decode_sections(np.asarray(seqs), split_specials, tok)
         if self.config.variant == "longitudinal":

@@ -231,6 +231,26 @@ def split_and_decode_sections(
     return tuple(sections)
 
 
+def bucket_prompt(input_ids: np.ndarray, attention_mask: np.ndarray, pad_id: int,
+                  bucket: int = 32, max_len: Optional[int] = None):
+    """Right-pad a tokenised prompt to the next width bucket.
+
+    Distinct prompt widths compile distinct decode programs; bucketing bounds the
+    number of compilations. Extra right padding is semantically inert under the
+    longitudinal mask-token attention (pad columns are masked, the final query
+    column is a PAD/mask query either way — identical logits)."""
+    width = input_ids.shape[1]
+    target = -(-width // bucket) * bucket
+    if max_len is not None:
+        target = min(max(target, width), max_len) if width <= max_len else width
+    if target <= width:
+        return input_ids, attention_mask
+    pad = target - width
+    input_ids = np.pad(input_ids, ((0, 0), (0, pad)), constant_values=pad_id)
+    attention_mask = np.pad(attention_mask, ((0, 0), (0, pad)), constant_values=0)
+    return input_ids, attention_mask
+
+
 def cumulative_position_ids(attention_mask: jnp.ndarray) -> jnp.ndarray:
     """relu(cumsum(mask) - 1) — the longitudinal position rule
     (modelling_longitudinal.py:275-277)."""

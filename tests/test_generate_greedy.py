@@ -116,3 +116,33 @@ def test_greedy_parity_longitudinal():
         )
     )
     np.testing.assert_array_equal(got, _pad_to(expected, got.shape[1], PAD))
+
+
+def test_prompt_bucketing_is_inert():
+    """Extra right padding of the longitudinal prompt changes nothing (mask-token
+    semantics) — the bucketed decode emits identical report strings."""
+    ref = build_reference_model("longitudinal", vocab_size=97, seed=13)
+    cfg = _my_config("longitudinal")
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(5)
+    pixels = rng.randn(2, 2, 3, 64, 64).astype(np.float32)
+    prompt = np.full((2, 7), PAD, dtype=np.int32)
+    prompt[0, :5] = [91, 30, PMT_SEP, 40, BOS]
+    prompt[1, :7] = [91, 31, 32, PMT_SEP, 41, 42, BOS]
+    mask = (prompt != PAD).astype(np.int32)
+
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pixels), cfg)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=11, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        mask_token_id=PAD, special_token_ids=(PMT_SEP, BOS, SEP),
+        token_type_sections=(0, 1, 0, 1),
+    )
+    base = np.asarray(generate(variables, cfg, gen_cfg, enc_hidden, enc_mask,
+                               jnp.asarray(prompt), jnp.asarray(mask)))
+    ids_b, mask_b = ed.bucket_prompt(prompt, mask, PAD, bucket=16)
+    assert ids_b.shape[1] == 16
+    bucketed = np.asarray(generate(variables, cfg, gen_cfg, enc_hidden, enc_mask,
+                                   jnp.asarray(ids_b), jnp.asarray(mask_b),
+                                   prompt_logits_col=prompt.shape[1] - 1))
+    # generated tokens (after each row's prompt region) must match
+    np.testing.assert_array_equal(base[:, 7:], bucketed[:, 16:])
