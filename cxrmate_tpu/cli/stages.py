@@ -106,6 +106,7 @@ def make_datasets(task: TaskConfig, split: str, train: bool):
         if train
         else image_mod.make_eval_loader_transform(size=task.image_size)
     )
+    # num_workers threads decode JPEGs concurrently (reference uses 5 loader workers)
     if task.variant == "single":
         return DicomDataset(sub, mimic_dir, load)
     if task.variant in ("multi",):
@@ -252,6 +253,17 @@ def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: D
     return scores
 
 
+def _log_scalars(task: TaskConfig, record: Dict) -> None:
+    """Append a JSON line to the trial's metrics log (the reference's log_dict
+    stream, without the Lightning logger)."""
+    import json
+    from pathlib import Path
+
+    Path(task.exp_dir_trial).mkdir(parents=True, exist_ok=True)
+    with open(os.path.join(task.exp_dir_trial, "metrics.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
 def fit(task: TaskConfig, chexbert_fn=None) -> None:
     tokenizer = load_tokenizer(task)
     config = build_model_config(task, len(tokenizer))
@@ -282,6 +294,7 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
                 train_set, task.mbatch_size, shuffle=True, seed=epoch,
                 max_images=task.max_images_per_study, drop_last=True,
                 rank=jax.process_index(), world_size=jax.process_count(),
+                num_workers=task.num_workers,
             )
         )
         n_batches = 0
@@ -294,10 +307,13 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
             rng, k = jax.random.split(rng)
             state, loss = step(state, {k2: jnp.asarray(v) for k2, v in tf_batch.items()}, k)
             n_batches += 1
+            if n_batches % 50 == 0:
+                _log_scalars(task, {"epoch": epoch, "step": n_batches, "train_loss": float(loss)})
             if task.fast_dev_run and n_batches >= 1:
                 break
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1, epoch)
+        _log_scalars(task, {"epoch": epoch, **{k: float(v) for k, v in scores.items()}})
         monitor_value = scores.get(task.monitor)
         orbax_io.save_checkpoint(
             task.exp_dir_trial, state, epoch, monitor_value,
@@ -376,6 +392,7 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
                 prompt["input_ids"].astype(np.int32), prompt["attention_mask"].astype(np.int32),
                 batch["findings"], batch["impression"], k,
             )
+            _log_scalars(task, {"epoch": epoch, **logs})
             # baseline outputs feed the history for later studies of the subject
             for sid, f, i in zip(batch["study_ids"], b_f, b_i):
                 train_set.record_generated(sid, f, i)

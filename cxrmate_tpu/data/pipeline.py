@@ -37,18 +37,33 @@ def batch_iterator(
     drop_last: bool = False,
     rank: int = 0,
     world_size: int = 1,
+    num_workers: int = 0,
 ) -> Iterator[Dict]:
     """Sequential (or shuffled) batches; with world_size > 1, rank r takes strided
-    samples like a DistributedSampler(shuffle=False)."""
+    samples like a DistributedSampler(shuffle=False). ``num_workers`` > 0 decodes a
+    batch's JPEGs on a thread pool (PIL releases the GIL)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
     order = order[rank::world_size]
-    for start in range(0, len(order), batch_size):
-        idx = order[start : start + batch_size]
-        if drop_last and len(idx) < batch_size:
-            return
-        yield collate([dataset[int(i)] for i in idx], max_images)
+    pool = None
+    if num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=num_workers)
+    try:
+        for start in range(0, len(order), batch_size):
+            idx = order[start : start + batch_size]
+            if drop_last and len(idx) < batch_size:
+                return
+            if pool is not None:
+                items = list(pool.map(lambda i: dataset[int(i)], idx))
+            else:
+                items = [dataset[int(i)] for i in idx]
+            yield collate(items, max_images)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 class Prefetcher:
