@@ -110,6 +110,9 @@ class TaskConfig:
         return cls(**kwargs)
 
 
+VALID_VARIANTS = ("single", "multi", "gt_prompt", "gen_prompt", "scst")
+
+
 def parse_args(argv=None) -> TaskConfig:
     p = argparse.ArgumentParser("cxrmate_tpu")
     p.add_argument("--config", "-c", required=True)
@@ -118,8 +121,12 @@ def parse_args(argv=None) -> TaskConfig:
     p.add_argument("--trial", type=int, default=0)
     p.add_argument("overrides", nargs="*", help="key=value overrides")
     args = p.parse_args(argv)
+    if not os.path.exists(args.config):
+        p.error(f"config file not found: {args.config}")
     cfg = apply_overrides(load_config(args.config), args.overrides)
     cfg["trial"] = args.trial
+    if cfg.get("variant") not in VALID_VARIANTS:
+        p.error(f"variant must be one of {VALID_VARIANTS}, got {cfg.get('variant')!r}")
     task = TaskConfig.from_dict(cfg)
     task._train = args.train  # type: ignore[attr-defined]
     task._test = args.test  # type: ignore[attr-defined]
