@@ -97,9 +97,17 @@ def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=
     # fencing the last amortises the host↔device round-trip (~30 ms) across the
     # batch of iterations (single stream, executed back-to-back on device).
     np.asarray(pipeline(variables, pixels))  # compile + warm
+    profile_dir = os.environ.get("CXRMATE_BENCH_PROFILE_DIR")
+    if profile_dir:
+        from cxrmate_tpu.utils.tracing import profile as profile_ctx
+    else:
+        import contextlib
+
+        profile_ctx = lambda _d: contextlib.nullcontext()  # noqa: E731
     t0 = time.perf_counter()
-    outs = [pipeline(variables, pixels) for _ in range(iters)]
-    np.asarray(outs[-1])
+    with profile_ctx(profile_dir):
+        outs = [pipeline(variables, pixels) for _ in range(iters)]
+        np.asarray(outs[-1])
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt
 
@@ -132,6 +140,12 @@ def cpu_baseline():
 
 
 def main():
+    if "--profile" in sys.argv:
+        # dump a jax.profiler trace of the timed loop (perfetto/tensorboard format)
+        os.environ.setdefault("CXRMATE_BENCH_PROFILE_DIR", "/tmp/cxrmate_trace")
+        print(
+            f"profiling to {os.environ['CXRMATE_BENCH_PROFILE_DIR']}", file=sys.stderr
+        )
     sps, dt = run()
     p50 = dt / BATCH
     try:

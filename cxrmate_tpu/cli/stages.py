@@ -30,6 +30,7 @@ from cxrmate_tpu.models.cvt import init_cvt_variables
 from cxrmate_tpu.tokenizer import ByteLevelBPETokenizer
 from cxrmate_tpu.train import optim
 from cxrmate_tpu.train.tf_trainer import build_tf_batch, create_train_state, make_train_step
+from cxrmate_tpu.utils.tracing import annotate
 
 VARIANT_TO_MODEL = {
     "single": "single",
@@ -216,9 +217,10 @@ def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: D
              num_beams: int, epoch: int, loggers=()):
     it = Prefetcher(batch_iterator(dataset, task.mbatch_size, max_images=task.max_images_per_study))
     for batch in it:
-        seqs, findings, impression = _decode_step_outputs(
-            task, config, tokenizer, variables, batch, num_beams
-        )
+        with annotate("decode"):
+            seqs, findings, impression = _decode_step_outputs(
+                task, config, tokenizer, variables, batch, num_beams
+            )
         kw = {"study_ids": batch["study_ids"]}
         if task.variant == "single":
             kw["dicom_ids"] = batch["dicom_ids"]
@@ -251,6 +253,41 @@ def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: D
             scores.update({f"{name}_{k}": v for k, v in out.items()})
         metric.reset()
     return scores
+
+
+def resolve_monitor(scores: Dict, monitor: str) -> Tuple[Optional[float], Optional[str]]:
+    """Resolve the checkpoint-selection value: the configured monitor if computed,
+    else an explicit surrogate NLG score (mode 'max', like the reference's
+    CheXbert-F1 monitor) with a loud warning — never silently save unranked
+    checkpoints (reference behaviour: `tools/stages.py:103-105` always has the
+    monitor because the CheXbert weights ship with the checkpoint zoo)."""
+    import warnings
+
+    if monitor in scores:
+        return scores[monitor], monitor
+    split = monitor.split("_", 1)[0]
+    surrogates = [
+        f"{split}_report_nlg_cider",
+        f"{split}_report_nlg_bleu_4",
+        f"{split}_report_nlg_bleu_1",
+    ] + sorted(k for k in scores if "_nlg_" in k)
+    for key in surrogates:
+        if key in scores:
+            warnings.warn(
+                f"monitor {monitor!r} not in computed scores (CheXbert weights "
+                f"missing from the checkpoint zoo?) — falling back to surrogate "
+                f"{key!r} for checkpoint selection",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return scores[key], key
+    warnings.warn(
+        f"monitor {monitor!r} not in computed scores and no NLG surrogate found; "
+        "checkpoints will be saved UNRANKED (no top-k pruning, best=latest)",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return None, None
 
 
 def _log_scalars(task: TaskConfig, record: Dict) -> None:
@@ -305,7 +342,8 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
                 batch.get("previous_findings"), batch.get("previous_impression"),
             )
             rng, k = jax.random.split(rng)
-            state, loss = step(state, {k2: jnp.asarray(v) for k2, v in tf_batch.items()}, k)
+            with annotate("train_step"):
+                state, loss = step(state, {k2: jnp.asarray(v) for k2, v in tf_batch.items()}, k)
             n_batches += 1
             if n_batches % 50 == 0:
                 _log_scalars(task, {"epoch": epoch, "step": n_batches, "train_loss": float(loss)})
@@ -314,10 +352,10 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1, epoch)
         _log_scalars(task, {"epoch": epoch, **{k: float(v) for k, v in scores.items()}})
-        monitor_value = scores.get(task.monitor)
+        monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
         orbax_io.save_checkpoint(
             task.exp_dir_trial, state, epoch, monitor_value,
-            monitor=task.monitor, mode=task.monitor_mode,
+            monitor=monitor_key or task.monitor, mode=task.monitor_mode,
         )
         if task.fast_dev_run:
             break
@@ -399,10 +437,10 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         val_set.reset_generated()
         scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1, epoch)
-        monitor_value = scores.get(task.monitor)
+        monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
         orbax_io.save_checkpoint(
             task.exp_dir_trial, state, epoch, monitor_value,
-            monitor=task.monitor, mode=task.monitor_mode,
+            monitor=monitor_key or task.monitor, mode=task.monitor_mode,
         )
 
 
@@ -468,9 +506,20 @@ def build_chexbert_fn(task: TaskConfig):
 
 
 def _optional(builder, task):
+    """Build an optional metric model (CheXbert / CXR-BERT); on failure, warn
+    LOUDLY about the degradation instead of silently dropping the metric."""
+    import warnings
+
     try:
         return builder(task)
-    except (FileNotFoundError, AssertionError, KeyError):
+    except (FileNotFoundError, AssertionError, KeyError) as e:
+        warnings.warn(
+            f"{builder.__name__} unavailable ({type(e).__name__}: {e}) — the "
+            "corresponding metrics are skipped and checkpoint selection falls back "
+            "to an NLG surrogate (see resolve_monitor)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None
 
 

@@ -72,10 +72,11 @@ def beam_search(
         attn_prompt = jnp.ones((b, p_len), dtype=jnp.int32)
         prompt_pos = jnp.broadcast_to(jnp.arange(p_len), (b, p_len))
     cache = bert_mod.init_cache(dcfg, b, t_total, encoder_hidden.shape[1], dtype=encoder_hidden.dtype)
-    prefill_logits, cache = bert_mod.bert_prefill(
-        params, dcfg, cache, prompt_ids, attn_prompt, prompt_types, prompt_pos,
-        encoder_hidden, encoder_mask, lora=config.lora,
-    )
+    with jax.named_scope("prefill"):
+        prefill_logits, cache = bert_mod.bert_prefill(
+            params, dcfg, cache, prompt_ids, attn_prompt, prompt_types, prompt_pos,
+            encoder_hidden, encoder_mask, lora=config.lora,
+        )
 
     # tile cache and encoder tensors to B*K (beam-major within batch)
     def tile(x, axis=0):
@@ -169,6 +170,7 @@ def beam_search(
         seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur = state
         return jnp.any(early_unsat) & ~all_hit & (cur < t_total)
 
+    @jax.named_scope("decode_step")
     def body(carry):
         state, _ = carry
         seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur = state

@@ -135,10 +135,11 @@ def generate(
         prompt_pos = jnp.broadcast_to(jnp.arange(p_len), (b, p_len))
 
     cache = bert_mod.init_cache(dcfg, b, t_total, encoder_hidden.shape[1], dtype=encoder_hidden.dtype)
-    prefill_logits, cache = bert_mod.bert_prefill(
-        params, dcfg, cache, prompt_ids, attn_prompt, prompt_types, prompt_pos,
-        encoder_hidden, encoder_mask, lora=config.lora,
-    )
+    with jax.named_scope("prefill"):
+        prefill_logits, cache = bert_mod.bert_prefill(
+            params, dcfg, cache, prompt_ids, attn_prompt, prompt_types, prompt_pos,
+            encoder_hidden, encoder_mask, lora=config.lora,
+        )
 
     seq = jnp.concatenate(
         [prompt_ids, jnp.full((b, max_new), gen_cfg.pad_token_id, dtype=prompt_ids.dtype)], axis=1
@@ -189,6 +190,7 @@ def generate(
     def cond(s):
         return (s["cur"] < t_total) & ~jnp.all(s["finished"])
 
+    @jax.named_scope("decode_step")
     def body(s):
         i = s["cur"] - 1  # query index = last appended token
         q_tok = jax.lax.dynamic_slice(s["seq"], (0, i), (b, 1))[:, 0]

@@ -36,6 +36,7 @@ from cxrmate_tpu.models.cvt import cvt_encode
 
 
 # ------------------------------------------------------------------------- encoder
+@jax.named_scope("encode")
 def encode_images(
     variables: Dict,
     pixel_values: jnp.ndarray,

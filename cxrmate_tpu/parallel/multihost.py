@@ -12,16 +12,23 @@ from typing import Optional
 import jax
 
 
-def initialize_if_needed(coordinator: Optional[str] = None) -> None:
+def initialize_if_needed(coordinator: Optional[str] = None) -> bool:
     """Initialise jax.distributed when launched across hosts (no-op single-host).
 
-    Reads the standard JAX cluster envs (or TPU metadata) like `jax.distributed`
-    itself; safe to call unconditionally at program start."""
-    if jax.process_count() > 1:
-        return  # already initialised
+    Must run before anything touches the backend (`jax.devices()`,
+    `jax.process_count()`, ...) — those calls initialise the local backend and make
+    a later ``jax.distributed.initialize`` ineffective. So the decision is taken
+    from the environment alone: with no coordinator address configured this returns
+    immediately without initialising anything. Returns True iff distributed
+    initialisation was performed by this call."""
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coordinator:
+    if not coordinator:
+        return False  # single-host launch: never touch the backend
+    try:
         jax.distributed.initialize(coordinator_address=coordinator)
+    except RuntimeError:
+        return False  # already initialised (idempotent call)
+    return True
 
 
 def is_main_process() -> bool:

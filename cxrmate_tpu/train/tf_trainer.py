@@ -81,6 +81,7 @@ def make_train_step(
         return loss, new_stats
 
     @functools.partial(jax.jit, donate_argnums=(0,))
+    @jax.named_scope("train_step")
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, jnp.ndarray]:
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rng

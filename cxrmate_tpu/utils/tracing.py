@@ -1,8 +1,12 @@
 """Profiling and trace annotation helpers.
 
-The reference has no tracing (SURVEY §5); here the hot phases (encode / prefill /
-decode-step / train-step) carry ``jax.profiler`` annotations and a ``profile``
-context manager wraps ``jax.profiler.trace`` for perfetto/tensorboard dumps."""
+The reference has no tracing (SURVEY §5). Here the hot phases carry names that
+show up in profiler dumps: the compiled phases (encode / prefill / decode_step /
+train_step) are tagged with ``jax.named_scope`` at their definitions
+(models/encoder_decoder.py, generate/decode.py, generate/beam.py,
+train/tf_trainer.py), and the host-side loops in cli/stages.py wrap device calls
+in :func:`annotate`. ``bench.py --profile`` wraps the timed loop in
+:func:`profile` to dump a perfetto/tensorboard trace."""
 
 from __future__ import annotations
 
