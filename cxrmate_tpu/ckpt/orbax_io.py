@@ -107,6 +107,72 @@ def last_checkpoint(exp_dir_trial: str) -> Optional[str]:
     return _ckpt_dir(exp_dir_trial, tag)
 
 
+def checkpoint_for_epoch(exp_dir_trial: str, epoch: int) -> Optional[str]:
+    """Resolve the checkpoint saved for a specific epoch (dlhpcstarter's
+    ``resume_epoch``/``test_epoch`` semantics: pick `epoch=N-...` by number)."""
+    ckpt_root = os.path.join(exp_dir_trial, "checkpoints")
+    if not os.path.isdir(ckpt_root):
+        return None
+    for tag in sorted(os.listdir(ckpt_root)):
+        m = re.match(r"epoch=(\d+)(-|$)", tag)
+        if m and int(m.group(1)) == epoch:
+            return _ckpt_dir(exp_dir_trial, tag)
+    return None
+
+
+def resolve_resume(
+    exp_dir_trial: str,
+    resume_last: bool = False,
+    resume_epoch: Optional[int] = None,
+    resume_ckpt_path: Optional[str] = None,
+) -> Optional[str]:
+    """dlhpcstarter ``resume_from_ckpt_path`` analogue (reference
+    `tools/stages.py:88`): explicit path > specific epoch > latest."""
+    if resume_ckpt_path:
+        if not os.path.exists(resume_ckpt_path):
+            raise FileNotFoundError(f"resume_ckpt_path not found: {resume_ckpt_path}")
+        return resume_ckpt_path
+    if resume_epoch is not None:
+        path = checkpoint_for_epoch(exp_dir_trial, resume_epoch)
+        if path is None:
+            raise FileNotFoundError(
+                f"no checkpoint for resume_epoch={resume_epoch} under {exp_dir_trial}"
+            )
+        return path
+    if resume_last:
+        return last_checkpoint(exp_dir_trial)
+    return None
+
+
+def get_test_ckpt_path(
+    exp_dir_trial: str,
+    monitor_mode: str = "max",
+    test_epoch: Optional[int] = None,
+    test_ckpt_path: Optional[str] = None,
+) -> Optional[str]:
+    """dlhpcstarter ``get_test_ckpt_path`` analogue (reference
+    `tools/stages.py:103-105` and the warm-start-from-other-experiment mode at
+    `tools/stages.py:66-72`): explicit path > specific epoch > best by monitor."""
+    if test_ckpt_path:
+        if not os.path.exists(test_ckpt_path):
+            raise FileNotFoundError(f"test_ckpt_path not found: {test_ckpt_path}")
+        return test_ckpt_path
+    if test_epoch is not None:
+        path = checkpoint_for_epoch(exp_dir_trial, test_epoch)
+        if path is None:
+            raise FileNotFoundError(
+                f"no checkpoint for test_epoch={test_epoch} under {exp_dir_trial}"
+            )
+        return path
+    return best_checkpoint(exp_dir_trial, monitor_mode)
+
+
+def checkpoint_epoch_from_path(path: str) -> Optional[int]:
+    """Parse the epoch number out of a checkpoint directory name."""
+    m = re.search(r"epoch=(\d+)", os.path.basename(os.path.normpath(path)))
+    return int(m.group(1)) if m else None
+
+
 def last_checkpoint_epoch(exp_dir_trial: str) -> Optional[int]:
     last_path = _ckpt_dir(exp_dir_trial, "last")
     marker = os.path.join(last_path, "EPOCH")

@@ -57,7 +57,7 @@ class TaskConfig:
     """Flat task configuration (the union of keys the reference configs use)."""
 
     task: str = "mimic_cxr"
-    variant: str = "multi"  # single | multi | gt_prompt | gen_prompt | scst
+    variant: str = "multi"  # single | multi | gt_prompt | gen_prompt | scst | scst_gt
     exp_dir: str = "experiments"
     dataset_dir: str = "datasets"
     ckpt_zoo_dir: str = "checkpoints"
@@ -79,10 +79,22 @@ class TaskConfig:
     precision: str = "bf16"
     num_workers: int = 5
 
+    # warm-start modes (reference tools/stages.py:52-85, priority order:
+    # explicit ckpt path > other experiment dir > HF checkpoint > fresh init)
+    warm_start_ckpt_path: Optional[str] = None
+    warm_start_exp_dir: Optional[str] = None
+    warm_start_monitor: str = "val_report_chexbert_f1_macro"
+    warm_start_monitor_mode: str = "max"
     warm_start_name: Optional[str] = None
     multi_ckpt_name: Optional[str] = None
+    # test-time checkpoint selection (reference tools/stages.py:93-105)
     test_ckpt_name: Optional[str] = None
+    test_epoch: Optional[int] = None
+    test_ckpt_path: Optional[str] = None
+    # resume modes (reference tools/stages.py:88)
     resume_last: bool = False
+    resume_epoch: Optional[int] = None
+    resume_ckpt_path: Optional[str] = None
     fast_dev_run: bool = False  # 1-batch/1-epoch dry run (stages.py:97-99 analogue)
 
     # TPU parallelism
@@ -110,7 +122,7 @@ class TaskConfig:
         return cls(**kwargs)
 
 
-VALID_VARIANTS = ("single", "multi", "gt_prompt", "gen_prompt", "scst")
+VALID_VARIANTS = ("single", "multi", "gt_prompt", "gen_prompt", "scst", "scst_gt")
 
 
 def parse_args(argv=None) -> TaskConfig:

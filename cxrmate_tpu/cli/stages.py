@@ -38,6 +38,7 @@ VARIANT_TO_MODEL = {
     "gt_prompt": "longitudinal",
     "gen_prompt": "longitudinal",
     "scst": "longitudinal",
+    "scst_gt": "longitudinal",
 }
 
 
@@ -84,8 +85,39 @@ def init_variables(task: TaskConfig, config) -> Dict:
     }
 
 
+def _load_orbax_variables(path: str, variables: Dict) -> Dict:
+    """Load {'params','batch_stats'} from a saved TrainState checkpoint; the tree
+    structure must match the current model (strict, like Lightning's
+    ``load_from_checkpoint``)."""
+    state = orbax_io.restore_checkpoint(path, None)
+    restored = {"params": state["params"], "batch_stats": state["batch_stats"]}
+    want = jax.tree_util.tree_structure(variables)
+    got = jax.tree_util.tree_structure(restored)
+    if want != got:
+        raise ValueError(
+            f"checkpoint at {path} has an incompatible parameter structure for this "
+            f"variant (did you warm-start across model families?)"
+        )
+    return restored
+
+
 def resolve_warm_start(task: TaskConfig, config, variables: Dict) -> Dict:
-    """stages.py:52-85 warm-start modes."""
+    """The reference's four warm-start modes in priority order
+    (`tools/stages.py:52-85`): explicit checkpoint path, best checkpoint of another
+    experiment's trial dir, HF checkpoint (dir or torch file), fresh init."""
+    if task.warm_start_ckpt_path:
+        if not os.path.exists(task.warm_start_ckpt_path):
+            raise FileNotFoundError(f"warm_start_ckpt_path not found: {task.warm_start_ckpt_path}")
+        return _load_orbax_variables(task.warm_start_ckpt_path, variables)
+    if task.warm_start_exp_dir:
+        # the other experiment's trial dir (tools/stages.py:63)
+        exp_dir_trial = os.path.join(task.warm_start_exp_dir, f"trial_{task.trial}")
+        path = orbax_io.get_test_ckpt_path(
+            exp_dir_trial, task.warm_start_monitor_mode, task.test_epoch, task.test_ckpt_path
+        )
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint to warm-start from under {exp_dir_trial}")
+        return _load_orbax_variables(path, variables)
     name = task.warm_start_name or task.multi_ckpt_name
     if name and os.path.isdir(name):
         sd = orbax_io.load_hf_pretrained_dir(name)
@@ -215,7 +247,11 @@ def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: i
 
 def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: Dict,
              num_beams: int, epoch: int, loggers=()):
-    it = Prefetcher(batch_iterator(dataset, task.mbatch_size, max_images=task.max_images_per_study))
+    it = batch_iterator(dataset, task.mbatch_size, max_images=task.max_images_per_study)
+    if not getattr(dataset, "use_generated", False):
+        # generated-prompt datasets read history written back during consumption —
+        # never prefetch them (reference: num_workers=0, gen_prompt.py:66-82)
+        it = Prefetcher(it)
     for batch in it:
         with annotate("decode"):
             seqs, findings, impression = _decode_step_outputs(
@@ -311,13 +347,15 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
     step = make_train_step(config, tx, trainable_mask=mask, pad_id=tokenizer.pad_token_id)
 
     start_epoch = 0
-    if task.resume_last:
-        last = orbax_io.last_checkpoint(task.exp_dir_trial)
-        if last:
-            state = orbax_io.restore_checkpoint(last, state)
+    resume_path = orbax_io.resolve_resume(
+        task.exp_dir_trial, task.resume_last, task.resume_epoch, task.resume_ckpt_path
+    )
+    if resume_path:
+        state = orbax_io.restore_checkpoint(resume_path, state)
+        epoch_marker = orbax_io.checkpoint_epoch_from_path(resume_path)
+        if epoch_marker is None:
             epoch_marker = orbax_io.last_checkpoint_epoch(task.exp_dir_trial)
-            if epoch_marker is None:
-                epoch_marker = int(os.path.basename(last).split("epoch=")[1].split("-")[0])
+        if epoch_marker is not None:
             start_epoch = epoch_marker + 1
 
     train_set = make_datasets(task, "train", train=True)
@@ -362,9 +400,12 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
 
 
 def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
-    """SCST (gen-prompt) training: sampled rollouts + greedy baseline + CXR-BERT
-    reward, with per-epoch subject re-allocation and generated-history threading
-    (reference scst/gen_prompt.py:146-259)."""
+    """SCST training: sampled rollouts + greedy baseline + CXR-BERT reward.
+
+    variant 'scst' (reference scst/gen_prompt.py:146-259): self-generated prompts
+    with per-epoch subject re-allocation and generated-history threading.
+    variant 'scst_gt' (reference scst/gt_prompt.py:8-255, GTPromptCXRBERT):
+    ground-truth prompts, ordinary shuffled batching, no history writes."""
     from cxrmate_tpu.train.scst import SCSTTrainer, make_scst_step
 
     tokenizer = load_tokenizer(task)
@@ -406,19 +447,29 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
     metrics = make_metrics(task, "val", chexbert_fn=chexbert_fn)
     rng = jax.random.PRNGKey(task.trial)
 
+    gen_prompt_scst = task.variant == "scst"
     for epoch in range(task.max_epochs):
-        # per-epoch subject→lane reallocation + history reset (scst/gen_prompt.py:152-158)
-        train_set.allocate_subjects_to_rank(
-            seed=(epoch + task.trial + 1) * (task.trial + 1)
-        )
-        train_set.reset_generated()
-        # DistributedSampler(shuffle=False) semantics: rank-strided, in allocator order
-        # (scst/gen_prompt.py:118); lanes were packed per rank×mbatch slot
-        it = Prefetcher(
-            batch_iterator(train_set, task.mbatch_size, max_images=task.max_images_per_study,
-                           drop_last=True, rank=jax.process_index(),
-                           world_size=jax.process_count())
-        )
+        if gen_prompt_scst:
+            # per-epoch subject→lane reallocation + history reset (scst/gen_prompt.py:152-158)
+            train_set.allocate_subjects_to_rank(
+                seed=(epoch + task.trial + 1) * (task.trial + 1)
+            )
+            train_set.reset_generated()
+            # DistributedSampler(shuffle=False) semantics: rank-strided, in allocator
+            # order (scst/gen_prompt.py:118); lanes were packed per rank×mbatch slot.
+            # No prefetch: __getitem__ reads history written back after each step
+            # (the reference's num_workers=0 loaders, gen_prompt.py:66-82).
+            it = batch_iterator(train_set, task.mbatch_size, max_images=task.max_images_per_study,
+                                drop_last=True, rank=jax.process_index(),
+                                world_size=jax.process_count())
+        else:
+            # scst_gt inherits GTPrompt's ordinary shuffled loader (gt_prompt.py via
+            # scst/gt_prompt.py:8 — no sampler/history overrides)
+            it = Prefetcher(
+                batch_iterator(train_set, task.mbatch_size, shuffle=True, seed=epoch,
+                               max_images=task.max_images_per_study, drop_last=True,
+                               rank=jax.process_index(), world_size=jax.process_count())
+            )
         for batch in it:
             prompt = ed.tokenize_prompt(
                 batch["previous_findings"], batch["previous_impression"], tokenizer,
@@ -431,11 +482,13 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
                 batch["findings"], batch["impression"], k,
             )
             _log_scalars(task, {"epoch": epoch, **logs})
-            # baseline outputs feed the history for later studies of the subject
-            for sid, f, i in zip(batch["study_ids"], b_f, b_i):
-                train_set.record_generated(sid, f, i)
+            if gen_prompt_scst:
+                # baseline outputs feed the history for later studies of the subject
+                for sid, f, i in zip(batch["study_ids"], b_f, b_i):
+                    train_set.record_generated(sid, f, i)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        val_set.reset_generated()
+        if getattr(val_set, "use_generated", False):
+            val_set.reset_generated()
         scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1, epoch)
         monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
         orbax_io.save_checkpoint(
@@ -452,13 +505,17 @@ def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) ->
     variables = init_variables(task, config)
     if task.test_ckpt_name:
         variables = resolve_warm_start(
-            TaskConfig(**{**task.__dict__, "warm_start_name": task.test_ckpt_name}),
+            TaskConfig(**{**task.__dict__, "warm_start_name": task.test_ckpt_name,
+                          "warm_start_ckpt_path": None, "warm_start_exp_dir": None}),
             config, variables,
         )
     else:
-        best = orbax_io.best_checkpoint(task.exp_dir_trial, task.monitor_mode)
-        if best:
-            state = orbax_io.restore_checkpoint(best, None)
+        # explicit path > specific epoch > best-by-monitor (tools/stages.py:103-105)
+        path = orbax_io.get_test_ckpt_path(
+            task.exp_dir_trial, task.monitor_mode, task.test_epoch, task.test_ckpt_path
+        )
+        if path:
+            state = orbax_io.restore_checkpoint(path, None)
             variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
     test_set = make_datasets(task, "test", train=False)
     metrics = make_metrics(task, "test", reward_fn=reward_fn, chexbert_fn=chexbert_fn,
@@ -529,7 +586,7 @@ def main(argv=None):
     task = parse_args(argv)
     chexbert_fn = _optional(build_chexbert_fn, task)
     if getattr(task, "_train", False):
-        if task.variant == "scst":
+        if task.variant in ("scst", "scst_gt"):
             fit_scst(task, build_cxrbert_reward(task), chexbert_fn=chexbert_fn)
         else:
             fit(task, chexbert_fn=chexbert_fn)

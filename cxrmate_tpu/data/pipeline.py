@@ -68,11 +68,19 @@ def batch_iterator(
 
 class Prefetcher:
     """Background-thread prefetch of an iterator (the reference uses DataLoader
-    workers with prefetch_factor=5, single.py:376-387)."""
+    workers with prefetch_factor=5, single.py:376-387). Worker exceptions are
+    re-raised in the consumer — a dying loader must fail the epoch, not silently
+    truncate it.
+
+    Do NOT prefetch datasets whose ``__getitem__`` depends on state written back
+    during consumption (generated-prompt history): the reference runs those with
+    ``num_workers=0`` single-process loaders for the same reason
+    (gen_prompt.py:66-82)."""
 
     def __init__(self, iterator: Iterator, depth: int = 5):
         self.queue: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error: Optional[BaseException] = None
         self.thread = threading.Thread(target=self._run, args=(iterator,), daemon=True)
         self.thread.start()
 
@@ -80,6 +88,8 @@ class Prefetcher:
         try:
             for item in iterator:
                 self.queue.put(item)
+        except BaseException as e:  # propagate to the consumer
+            self._error = e
         finally:
             self.queue.put(self._done)
 
@@ -87,5 +97,7 @@ class Prefetcher:
         while True:
             item = self.queue.get()
             if item is self._done:
+                if self._error is not None:
+                    raise self._error
                 return
             yield item

@@ -73,7 +73,7 @@ def mask_for_stage(params, stage: str) -> dict:
             lambda path, _: _path_contains(path, "lora_a") or _path_contains(path, "lora_b"),
             params,
         )
-    if stage in ("scst", "gen_prompt"):
+    if stage in ("scst", "scst_gt", "gen_prompt"):
         return mask_decoder_only(params)
     raise ValueError(stage)
 

@@ -141,6 +141,100 @@ def test_fit_scst_gen_prompt(synthetic_dataset):
     assert ckpts
 
 
+def test_fit_scst_gt_prompt(synthetic_dataset):
+    """SCST with ground-truth prompts (reference scst/gt_prompt.py:GTPromptCXRBERT):
+    shuffled GT-prompt batches, no history threading."""
+    import numpy as np
+
+    from cxrmate_tpu.cli.stages import fit_scst
+
+    root = synthetic_dataset
+    task = _task(root, "scst_gt", trial=7, max_epochs=1, mbatch_size=1, accumulated_mbatch_size=1)
+
+    def reward_fn(preds, labels):
+        return np.asarray([min(len(p), 20) / 20.0 for p in preds], np.float32)
+
+    fit_scst(task, reward_fn)
+    ckpts = glob.glob(os.path.join(task.exp_dir_trial, "checkpoints", "epoch=*"))
+    assert ckpts
+
+
+def test_warm_start_modes(synthetic_dataset):
+    """The reference's four warm-start modes (tools/stages.py:52-85): explicit
+    checkpoint path and best-checkpoint-of-another-experiment."""
+    from cxrmate_tpu.ckpt import orbax_io
+
+    root = synthetic_dataset
+    donor = _task(root, "gt_prompt", trial=8)
+    fit(donor)
+
+    # mode 1: explicit checkpoint path
+    last = orbax_io.last_checkpoint(donor.exp_dir_trial)
+    t1 = _task(root, "scst_gt", trial=8, warm_start_ckpt_path=last, fast_dev_run=True)
+    from cxrmate_tpu.cli.stages import build_model_config, init_variables, load_tokenizer, resolve_warm_start
+
+    tokenizer = load_tokenizer(t1)
+    config = build_model_config(t1, len(tokenizer))
+    fresh = init_variables(t1, config)
+    warm = resolve_warm_start(t1, config, fresh)
+    donor_state = orbax_io.restore_checkpoint(last, None)
+    ref_leaf = donor_state["params"]["decoder"]["embeddings"]["word"]
+    np.testing.assert_array_equal(np.asarray(warm["params"]["decoder"]["embeddings"]["word"]), np.asarray(ref_leaf))
+
+    # mode 2: best checkpoint of another experiment dir (tools/stages.py:57-75)
+    t2 = _task(
+        root, "scst_gt", trial=8,
+        warm_start_exp_dir=os.path.dirname(donor.exp_dir_trial),
+    )
+    warm2 = resolve_warm_start(t2, config, fresh)
+    best = orbax_io.best_checkpoint(donor.exp_dir_trial)
+    best_state = orbax_io.restore_checkpoint(best, None)
+    np.testing.assert_array_equal(
+        np.asarray(warm2["params"]["decoder"]["embeddings"]["word"]),
+        np.asarray(best_state["params"]["decoder"]["embeddings"]["word"]),
+    )
+
+    # missing dir errors loudly
+    t3 = _task(root, "scst_gt", trial=9, warm_start_exp_dir=str(root / "nope"))
+    with pytest.raises(FileNotFoundError):
+        resolve_warm_start(t3, config, fresh)
+
+
+def test_resume_and_test_ckpt_resolution(tmp_path):
+    """dlhpcstarter resume_from_ckpt_path / get_test_ckpt_path semantics
+    (tools/stages.py:88,103-105) on fabricated checkpoint dirs."""
+    from cxrmate_tpu.ckpt import orbax_io
+
+    exp = tmp_path / "trial_0"
+    ckpts = exp / "checkpoints"
+    index = {}
+    for epoch, value in [(0, 0.1), (1, 0.5), (2, 0.3)]:
+        tag = f"epoch={epoch}-val_report_chexbert_f1_macro={value:.6f}"
+        (ckpts / tag).mkdir(parents=True)
+        index[tag] = {"epoch": epoch, "monitor": "val_report_chexbert_f1_macro", "value": value}
+    (ckpts / "last").mkdir()
+    import json
+
+    (ckpts / "index.json").write_text(json.dumps(index))
+
+    assert orbax_io.checkpoint_for_epoch(str(exp), 1).endswith("epoch=1-val_report_chexbert_f1_macro=0.500000")
+    assert orbax_io.checkpoint_for_epoch(str(exp), 5) is None
+    # resume: explicit path > epoch > last
+    explicit = str(ckpts / "epoch=0-val_report_chexbert_f1_macro=0.100000")
+    assert orbax_io.resolve_resume(str(exp), True, 2, explicit) == explicit
+    assert orbax_io.resolve_resume(str(exp), True, 2, None).endswith("epoch=2-val_report_chexbert_f1_macro=0.300000")
+    assert orbax_io.resolve_resume(str(exp), True, None, None).endswith("last")
+    assert orbax_io.resolve_resume(str(exp), False, None, None) is None
+    with pytest.raises(FileNotFoundError):
+        orbax_io.resolve_resume(str(exp), False, 9, None)
+    # test-time: explicit path > epoch > best by monitor
+    assert orbax_io.get_test_ckpt_path(str(exp), "max", None, explicit) == explicit
+    assert orbax_io.get_test_ckpt_path(str(exp), "max", 0, None) == explicit
+    assert orbax_io.get_test_ckpt_path(str(exp), "max", None, None).endswith("=0.500000")
+    assert orbax_io.get_test_ckpt_path(str(exp), "min", None, None).endswith("=0.100000")
+    assert orbax_io.checkpoint_epoch_from_path(explicit) == 0
+
+
 def test_fit_resume_last(synthetic_dataset):
     from cxrmate_tpu.ckpt import orbax_io
 
