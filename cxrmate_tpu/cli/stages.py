@@ -71,6 +71,28 @@ def build_model_config(task: TaskConfig, vocab_size: int) -> model_configs.Encod
     return model_configs.longitudinal_config(vocab_size)
 
 
+def mesh_from_task(task: TaskConfig):
+    """Build the dp×tp device mesh when the config asks for one
+    (``mesh_data``/``mesh_model``; the reference's `devices`/`strategy: ddp`,
+    config/train/single_tf.yaml:8-9). Returns None for the single-device default."""
+    from cxrmate_tpu.parallel.mesh import make_mesh
+
+    if task.mesh_data is None and task.mesh_model <= 1:
+        return None
+    mesh = make_mesh(task.mesh_data, task.mesh_model)
+    if mesh.devices.size == 1:
+        return None  # 1x1 mesh is the single-device path
+    return mesh
+
+
+def shard_for_mesh(variables: Dict, mesh, task: TaskConfig) -> Dict:
+    from cxrmate_tpu.parallel.mesh import shard_variables
+
+    if mesh is None:
+        return variables
+    return shard_variables(variables, mesh, tp=task.mesh_model > 1)
+
+
 def load_tokenizer(task: TaskConfig) -> ByteLevelBPETokenizer:
     path = task.tokenizer_dir or os.path.join(task.ckpt_zoo_dir, "mimic-cxr-tokenizers", "bpe_prompt")
     return ByteLevelBPETokenizer.from_file(path)
@@ -183,14 +205,35 @@ def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
     return out
 
 
-def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: int):
-    """Greedy (val) or beam (test) decode of one batch → findings/impression."""
-    pixels = jnp.asarray(batch["images"], jnp.float32)
+def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: int,
+                         mesh=None):
+    """Greedy (val) or beam (test) decode of one batch → findings/impression.
+
+    Under a mesh, the batch axis is padded to a multiple of the 'data' axis
+    (repeating the last study) and sharded; outputs are sliced back."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cxrmate_tpu.parallel.mesh import pad_to_multiple
+
+    true_b = batch["images"].shape[0]
+    images = np.asarray(batch["images"], np.float32)
+    prev_f, prev_i = batch.get("previous_findings"), batch.get("previous_impression")
+    if mesh is not None:
+        dp = mesh.shape["data"]
+        images = pad_to_multiple(images, dp)
+        if prev_f is not None:
+            pad = images.shape[0] - true_b
+            prev_f = list(prev_f) + [prev_f[-1]] * pad
+            prev_i = list(prev_i) + [prev_i[-1]] * pad
+        _place = lambda a: jax.device_put(np.asarray(a), NamedSharding(mesh, P("data")))
+    else:
+        _place = jnp.asarray
+    pixels = _place(images)
     enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
     longitudinal = VARIANT_TO_MODEL[task.variant] == "longitudinal"
     if longitudinal:
         prompt = ed.tokenize_prompt(
-            batch["previous_findings"], batch["previous_impression"], tokenizer,
+            prev_f, prev_i, tokenizer,
             task.decoder_max_len, add_bos_token_id=True,
         )
         # bucket prompt widths so XLA compiles a handful of decode programs; the
@@ -201,8 +244,8 @@ def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: i
             prompt["input_ids"], prompt["attention_mask"], tokenizer.pad_token_id,
             bucket=32, max_len=task.decoder_max_len,
         )
-        prompt_ids = jnp.asarray(ids_b.astype(np.int32))
-        prompt_mask = jnp.asarray(mask_b.astype(np.int32))
+        prompt_ids = _place(ids_b.astype(np.int32))
+        prompt_mask = _place(mask_b.astype(np.int32))
         prompt_logits_col = true_width - 1
         pmt_sep = tokenizer.vocab["[PMT-SEP]"]
         specials = (pmt_sep, tokenizer.bos_token_id, tokenizer.sep_token_id)
@@ -216,8 +259,8 @@ def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: i
         split_specials = [tokenizer.bos_token_id, tokenizer.sep_token_id, tokenizer.eos_token_id]
     else:
         b = pixels.shape[0]
-        prompt_ids = jnp.full((b, 1), tokenizer.bos_token_id, jnp.int32)
-        prompt_mask = jnp.ones((b, 1), jnp.int32)
+        prompt_ids = _place(np.full((b, 1), tokenizer.bos_token_id, np.int32))
+        prompt_mask = _place(np.ones((b, 1), np.int32))
         prompt_logits_col = None
         if task.variant == "single":
             enc_mask = jnp.ones_like(enc_mask)
@@ -236,7 +279,7 @@ def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: i
     else:
         seqs = generate(variables, config, gen_cfg, enc_hidden, enc_mask, prompt_ids,
                         prompt_mask, prompt_logits_col=prompt_logits_col)
-    seqs = np.asarray(seqs)
+    seqs = np.asarray(seqs)[:true_b]
     sections = ed.split_and_decode_sections(seqs, split_specials, tokenizer)
     if longitudinal:
         _, findings, impression = sections
@@ -246,7 +289,7 @@ def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: i
 
 
 def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: Dict,
-             num_beams: int, epoch: int, loggers=()):
+             num_beams: int, epoch: int, loggers=(), mesh=None):
     it = batch_iterator(dataset, task.mbatch_size, max_images=task.max_images_per_study)
     if not getattr(dataset, "use_generated", False):
         # generated-prompt datasets read history written back during consumption —
@@ -255,7 +298,7 @@ def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: D
     for batch in it:
         with annotate("decode"):
             seqs, findings, impression = _decode_step_outputs(
-                task, config, tokenizer, variables, batch, num_beams
+                task, config, tokenizer, variables, batch, num_beams, mesh=mesh
             )
         kw = {"study_ids": batch["study_ids"]}
         if task.variant == "single":
@@ -338,12 +381,24 @@ def _log_scalars(task: TaskConfig, record: Dict) -> None:
 
 
 def fit(task: TaskConfig, chexbert_fn=None) -> None:
+    from cxrmate_tpu.parallel.mesh import place_batch
+
     tokenizer = load_tokenizer(task)
     config = build_model_config(task, len(tokenizer))
+    mesh = mesh_from_task(task)
     variables = resolve_warm_start(task, config, init_variables(task, config))
     mask = optim.mask_for_stage(variables["params"], task.variant)
     tx = optim.adamw(task.lr, accumulate_steps=task.accumulate_steps, trainable_mask=mask)
-    state = create_train_state(variables, tx)
+    if mesh is not None:
+        dp = mesh.shape["data"]
+        assert task.mbatch_size % dp == 0, (
+            f"mbatch_size {task.mbatch_size} not divisible by mesh data axis {dp}"
+        )
+        variables = shard_for_mesh(variables, mesh, task)
+        # init the optimizer state under jit so mu/nu inherit the param shardings
+        state = jax.jit(lambda v: create_train_state(v, tx))(variables)
+    else:
+        state = create_train_state(variables, tx)
     step = make_train_step(config, tx, trainable_mask=mask, pad_id=tokenizer.pad_token_id)
 
     start_epoch = 0
@@ -381,14 +436,15 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
             )
             rng, k = jax.random.split(rng)
             with annotate("train_step"):
-                state, loss = step(state, {k2: jnp.asarray(v) for k2, v in tf_batch.items()}, k)
+                state, loss = step(state, place_batch(tf_batch, mesh), k)
             n_batches += 1
-            if n_batches % 50 == 0:
+            if n_batches % 50 == 0 or n_batches == 1:
                 _log_scalars(task, {"epoch": epoch, "step": n_batches, "train_loss": float(loss)})
             if task.fast_dev_run and n_batches >= 1:
                 break
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1, epoch)
+        scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1,
+                          epoch, mesh=mesh)
         _log_scalars(task, {"epoch": epoch, **{k: float(v) for k, v in scores.items()}})
         monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
         orbax_io.save_checkpoint(
@@ -410,10 +466,18 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
 
     tokenizer = load_tokenizer(task)
     config = build_model_config(task, len(tokenizer))
+    mesh = mesh_from_task(task)
     variables = resolve_warm_start(task, config, init_variables(task, config))
     mask = optim.mask_for_stage(variables["params"], "scst")
     tx = optim.adamw(task.lr, accumulate_steps=task.accumulate_steps, trainable_mask=mask)
-    state = create_train_state(variables, tx)
+    if mesh is not None:
+        assert task.mbatch_size % mesh.shape["data"] == 0, (
+            f"mbatch_size {task.mbatch_size} not divisible by mesh data axis {mesh.shape['data']}"
+        )
+        variables = shard_for_mesh(variables, mesh, task)
+        state = jax.jit(lambda v: create_train_state(v, tx))(variables)
+    else:
+        state = create_train_state(variables, tx)
 
     pmt_sep = tokenizer.vocab["[PMT-SEP]"]
     gen_sample = GenerationConfig(
@@ -476,9 +540,16 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
                 task.decoder_max_len, add_bos_token_id=True,
             )
             rng, k = jax.random.split(rng)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                _p = lambda a: jax.device_put(np.asarray(a), NamedSharding(mesh, P("data")))
+            else:
+                _p = lambda a: jnp.asarray(a)
             state, logs, (b_f, b_i) = trainer.step(
-                state, jnp.asarray(batch["images"], jnp.float32),
-                prompt["input_ids"].astype(np.int32), prompt["attention_mask"].astype(np.int32),
+                state, _p(np.asarray(batch["images"], np.float32)),
+                _p(prompt["input_ids"].astype(np.int32)),
+                _p(prompt["attention_mask"].astype(np.int32)),
                 batch["findings"], batch["impression"], k,
             )
             _log_scalars(task, {"epoch": epoch, **logs})
@@ -489,7 +560,8 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if getattr(val_set, "use_generated", False):
             val_set.reset_generated()
-        scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1, epoch)
+        scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1,
+                          epoch, mesh=mesh)
         monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
         orbax_io.save_checkpoint(
             task.exp_dir_trial, state, epoch, monitor_value,
@@ -502,6 +574,7 @@ def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) ->
 
     tokenizer = load_tokenizer(task)
     config = build_model_config(task, len(tokenizer))
+    mesh = mesh_from_task(task)
     variables = init_variables(task, config)
     if task.test_ckpt_name:
         variables = resolve_warm_start(
@@ -517,6 +590,7 @@ def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) ->
         if path:
             state = orbax_io.restore_checkpoint(path, None)
             variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+    variables = shard_for_mesh(variables, mesh, task)
     test_set = make_datasets(task, "test", train=False)
     metrics = make_metrics(task, "test", reward_fn=reward_fn, chexbert_fn=chexbert_fn,
                            bertscorer=bertscorer)
@@ -526,7 +600,7 @@ def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) ->
     )
     return evaluate(
         task, config, tokenizer, variables, test_set, "test", metrics,
-        task.num_test_beams, 0, loggers,
+        task.num_test_beams, 0, loggers, mesh=mesh,
     )
 
 

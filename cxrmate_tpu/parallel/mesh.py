@@ -19,16 +19,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
+    """dp×tp mesh over ``data*model`` devices (the first ones, if fewer than all
+    are requested — lets a 4-device job run on an 8-device host)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data is None:
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    return Mesh(devices.reshape(data, model), ("data", "model"))
+    assert data * model <= n, f"mesh {data}x{model} needs {data * model} devices, have {n}"
+    return Mesh(devices[: data * model].reshape(data, model), ("data", "model"))
 
 
 def batch_spec() -> P:
     return P("data")
+
+
+def place_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
+    """Place a host batch dict on the mesh, sharded along the 'data' axis (the
+    DDP analogue: each device gets its slice; gradient reductions become psum
+    over ICI via GSPMD). With no mesh, plain device transfer."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        spec = P("data") if arr.ndim else P()
+        out[k] = jax.device_put(arr, NamedSharding(mesh, spec))
+    return out
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad the leading (batch) axis up to a multiple by repeating the last row —
+    keeps eval batches divisible by the mesh 'data' axis with static shapes."""
+    b = arr.shape[0]
+    pad = (-b) % multiple
+    if pad == 0:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
 
 
 def _decoder_layer_specs(layer: dict) -> dict:
@@ -114,8 +142,23 @@ def variables_specs(variables: dict, tp: bool = True) -> dict:
     return specs
 
 
+def _feasible_spec(x, spec: P, mesh: Mesh) -> P:
+    """Drop sharded axes whose dimension doesn't divide the mesh axis size
+    (e.g. a tiny test vocab that doesn't split 4 ways) — replicate those dims."""
+    dims = []
+    for i, name in enumerate(spec):
+        if name is None or i >= x.ndim:
+            dims.append(None)
+            continue
+        size = int(np.prod([mesh.shape[a] for a in ((name,) if isinstance(name, str) else name)]))
+        dims.append(name if x.shape[i] % size == 0 else None)
+    return P(*dims)
+
+
 def shard_variables(variables: dict, mesh: Mesh, tp: bool = True) -> dict:
     specs = variables_specs(variables, tp=tp)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), variables, specs
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, _feasible_spec(x, s, mesh))),
+        variables,
+        specs,
     )

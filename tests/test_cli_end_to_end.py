@@ -235,6 +235,121 @@ def test_resume_and_test_ckpt_resolution(tmp_path):
     assert orbax_io.checkpoint_epoch_from_path(explicit) == 0
 
 
+@pytest.fixture(scope="module")
+def mesh_dataset(tmp_path_factory):
+    """Bigger synthetic dataset (16 train studies) so a dp=8 mesh gets a full
+    mbatch-8 global batch."""
+    root = tmp_path_factory.mktemp("mimic_mesh")
+    dataset_dir = root / "datasets"
+    files_dir = dataset_dir / "physionet.org" / "files" / "mimic-cxr-jpg" / "2.0.0"
+    rows = []
+    rng = np.random.RandomState(1)
+    for i in range(20):
+        study = 2000 + i
+        subject = 200 + i
+        dicom = f"mdcm{i}"
+        img_dir = files_dir / "files" / f"p{str(subject)[:2]}" / f"p{subject}" / f"s{study}"
+        img_dir.mkdir(parents=True, exist_ok=True)
+        arr = rng.randint(0, 255, size=(48, 40), dtype=np.uint8)
+        Image.fromarray(arr, "L").save(img_dir / f"{dicom}.jpg")
+        split = "train" if i < 16 else ("validate" if i < 18 else "test")
+        rows.append(
+            dict(dicom_id=dicom, study_id=study, subject_id=subject, split=split,
+                 findings=FINDINGS[i % 4], impression=IMPRESSION[i % 4],
+                 StudyDate=20200101 + i, StudyTime=120000.0 + i)
+        )
+    merged = dataset_dir / "mimic_cxr_merged"
+    merged.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(rows).to_csv(merged / "splits_reports_metadata.csv", index=False)
+    tok_dir = root / "checkpoints" / "mimic-cxr-tokenizers" / "bpe_prompt"
+    tok_dir.mkdir(parents=True, exist_ok=True)
+    tok = train_bpe(
+        FINDINGS + IMPRESSION, vocab_size=300,
+        additional_special_tokens=["[NPF]", "[NPI]", "[PMT]", "[PMT-SEP]"],
+    )
+    tok.save(str(tok_dir) + os.sep)
+    return root
+
+
+def _mesh_task(root, exp_name, **kw):
+    return TaskConfig(
+        variant="multi",
+        exp_dir=str(root / exp_name),
+        dataset_dir=str(root / "datasets"),
+        ckpt_zoo_dir=str(root / "checkpoints"),
+        mbatch_size=8,
+        accumulated_mbatch_size=8,
+        max_epochs=1,
+        decoder_max_len=24,
+        num_test_beams=2,
+        max_images_per_study=1,
+        model_preset="tiny",
+        image_size=32,
+        monitor="val_report_nlg_bleu_1",
+        fast_dev_run=True,
+        **kw,
+    )
+
+
+def _first_train_loss(task):
+    with open(os.path.join(task.exp_dir_trial, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train_loss" in rec:
+                return rec["train_loss"]
+    raise AssertionError("no train_loss logged")
+
+
+def test_cli_fit_on_mesh_matches_single_device(mesh_dataset):
+    """The CLI trainer honours mesh_data/mesh_model (VERDICT round-1 item 1):
+    dp=8 and dp2×tp4 runs produce the same loss as the single-device run."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    root = mesh_dataset
+
+    base = _mesh_task(root, "exp_single", mesh_data=1)
+    fit(base)
+    loss_single = _first_train_loss(base)
+
+    dp8 = _mesh_task(root, "exp_dp8", mesh_data=8)
+    fit(dp8)
+    assert _first_train_loss(dp8) == pytest.approx(loss_single, rel=2e-5)
+
+    dp2tp4 = _mesh_task(root, "exp_dp2tp4", mesh_data=2, mesh_model=4)
+    fit(dp2tp4)
+    assert _first_train_loss(dp2tp4) == pytest.approx(loss_single, rel=2e-5)
+
+
+def test_cli_test_stage_on_mesh_token_identical(mesh_dataset):
+    """Beam-4-style test stage under the mesh: generated token ids equal the
+    single-device run's (padding + sharding must not change outputs)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    root = mesh_dataset
+
+    from cxrmate_tpu.ckpt import orbax_io
+
+    base = _mesh_task(root, "exp_single", mesh_data=1)
+    if not os.path.exists(os.path.join(base.exp_dir_trial, "checkpoints")):
+        fit(base)
+    run_test_stage(base)
+    # same checkpoint, decoded on the dp=8 mesh (isolates eval-path sharding)
+    ckpt = orbax_io.best_checkpoint(base.exp_dir_trial)
+    dp8 = _mesh_task(root, "exp_dp8_test", mesh_data=8, test_ckpt_path=ckpt)
+    run_test_stage(dp8)
+
+    def ids_csv(task):
+        files = sorted(glob.glob(os.path.join(task.exp_dir_trial, "generated_report_ids", "*.csv")))
+        return pd.read_csv(files[-1]).sort_values("study_id").reset_index(drop=True)
+
+    a, b = ids_csv(base), ids_csv(dp8)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_fit_resume_last(synthetic_dataset):
     from cxrmate_tpu.ckpt import orbax_io
 
