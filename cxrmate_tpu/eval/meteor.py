@@ -1,0 +1,203 @@
+"""METEOR — staged-module alignment scoring, replacing the Java METEOR-1.5 jar the
+reference shells out to (pycocoevalcap invocation at
+`/root/reference/tools/metrics/coco.py:2-7,59`; jar: `java -jar meteor-1.5.jar
+- - -stdio -l en -norm`).
+
+Faithful to METEOR 1.5 (Denkowski & Lavie 2014) for English:
+  * matcher modules in stage order: **exact** → **stem** (Snowball English,
+    `eval/stem.py`) → **synonym** (optional adapter; the jar uses a WordNet-derived
+    synonymy table that is not redistributable here — pass ``synonyms=`` to enable,
+    e.g. ``wordnet_synonyms`` when the nltk WordNet corpus is installed);
+    module weights 1.0 / 0.6 / 0.8. The paraphrase module (weight 0.6) requires the
+    jar's paraphrase table and is not implemented.
+  * English parameters: α=0.85, β=0.2, γ=0.6, δ=0.75.
+  * content/function-word weighting: function words (built-in list approximating
+    the jar's corpus-derived function.words file) weigh (1−δ), content words δ.
+  * alignment: one-to-one word alignment chosen by beam search maximising total
+    matches, then minimising chunks, then minimising total match distance —
+    the jar's Aligner resolution order.
+  * corpus score from summed sufficient statistics (the jar's aggregate EVAL),
+    per-segment scores from each segment's own statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+from cxrmate_tpu.eval.stem import stem
+
+ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
+WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN = 1.0, 0.6, 0.8
+_BEAM = 40
+
+# English function words: articles, conjunctions, prepositions, pronouns,
+# auxiliaries/modals, common adverbs of degree — the classes the jar's
+# frequency-derived function.words file contains.
+FUNCTION_WORDS = frozenset("""
+a an the and or but nor so yet for of in on at by to from with without within into onto
+upon under over above below between among through during before after since until about
+against along across behind beyond beneath beside besides despite down up off out near
+than as if then else when whenever where wherever while because although though unless
+whereas whether once that which who whom whose what this these those it its he him his
+she her hers they them their theirs we us our ours you your yours i me my mine myself
+yourself himself herself itself ourselves themselves is am are was were be been being
+do does did done doing have has had having will would shall should may might can could
+must ought not no nor never also very too quite rather just only even still there here
+each every either neither both all any some such own same other another much many more
+most few little less least
+""".split())
+
+
+def _word_weight(w: str) -> float:
+    return (1.0 - DELTA) if w in FUNCTION_WORDS else DELTA
+
+
+def _candidate_matches(hyp: List[str], ref: List[str], synonyms) -> List[List[Tuple[int, float]]]:
+    """For each hyp index, the (ref index, module weight) candidates, using the
+    highest-priority module that matches each (i, j) pair."""
+    hyp_stems = [stem(w) for w in hyp]
+    ref_stems = [stem(w) for w in ref]
+    cands: List[List[Tuple[int, float]]] = []
+    for i, h in enumerate(hyp):
+        row = []
+        for j, r in enumerate(ref):
+            if h == r:
+                row.append((j, WEIGHT_EXACT))
+            elif hyp_stems[i] == ref_stems[j]:
+                row.append((j, WEIGHT_STEM))
+            elif synonyms is not None and synonyms(h, r):
+                row.append((j, WEIGHT_SYN))
+        cands.append(row)
+    return cands
+
+
+def _align(hyp: List[str], ref: List[str], synonyms) -> List[Tuple[int, int, float]]:
+    """One-to-one alignment via beam search: max matches, then min chunks, then
+    min total |i−j| (the jar's Aligner resolution order). Returns
+    [(hyp_idx, ref_idx, module_weight)] sorted by hyp index."""
+    cands = _candidate_matches(hyp, ref, synonyms)
+    # beam state: (matches, last_j or None, chunks, dist, used_ref_frozenset, align_list)
+    states = [(0, None, 0, 0, frozenset(), ())]
+    for i, row in enumerate(cands):
+        nxt = {}
+
+        def push(st):
+            key = (st[4], st[1])
+            old = nxt.get(key)
+            if old is None or (-st[0], st[2], st[3]) < (-old[0], old[2], old[3]):
+                nxt[key] = st
+
+        for m, last_j, chunks, dist, used, al in states:
+            # skip word i (breaks any running chunk)
+            push((m, None, chunks, dist, used, al))
+            for j, w in row:
+                if j in used:
+                    continue
+                new_chunks = chunks + (0 if last_j is not None and j == last_j + 1 else 1)
+                push((m + 1, j, new_chunks, dist + abs(i - j), used | {j},
+                      al + ((i, j, w),)))
+        states = sorted(nxt.values(), key=lambda s: (-s[0], s[2], s[3]))[:_BEAM]
+    best = states[0]
+    return list(best[5])
+
+
+class SegmentStats:
+    """Sufficient statistics of one (hyp, ref) pair — summable for the corpus score."""
+
+    __slots__ = ("w_hyp", "w_ref", "wm_hyp", "wm_ref", "chunks", "matches")
+
+    def __init__(self, w_hyp=0.0, w_ref=0.0, wm_hyp=0.0, wm_ref=0.0, chunks=0, matches=0.0):
+        self.w_hyp, self.w_ref = w_hyp, w_ref
+        self.wm_hyp, self.wm_ref = wm_hyp, wm_ref
+        self.chunks, self.matches = chunks, matches
+
+    def add(self, other: "SegmentStats") -> None:
+        self.w_hyp += other.w_hyp
+        self.w_ref += other.w_ref
+        self.wm_hyp += other.wm_hyp
+        self.wm_ref += other.wm_ref
+        self.chunks += other.chunks
+        self.matches += other.matches
+
+    def score(self) -> float:
+        if self.wm_hyp == 0.0 or self.wm_ref == 0.0:
+            return 0.0
+        p = self.wm_hyp / self.w_hyp
+        r = self.wm_ref / self.w_ref
+        f = (p * r) / (ALPHA * p + (1.0 - ALPHA) * r)
+        # fully-contiguous alignments take no penalty (single chunk covering
+        # everything ⇒ ch/m minimal); the jar uses frag = ch/m directly
+        frag = self.chunks / self.matches if self.matches else 0.0
+        return (1.0 - GAMMA * (frag ** BETA)) * f
+
+
+def _segment_stats(hyp: List[str], ref: List[str], synonyms) -> SegmentStats:
+    if not hyp or not ref:
+        return SegmentStats(
+            w_hyp=sum(_word_weight(w) for w in hyp),
+            w_ref=sum(_word_weight(w) for w in ref),
+        )
+    align = _align(hyp, ref, synonyms)
+    st = SegmentStats(
+        w_hyp=sum(_word_weight(w) for w in hyp),
+        w_ref=sum(_word_weight(w) for w in ref),
+    )
+    st.matches = float(len(align))
+    last = None
+    for i, j, w in align:
+        st.wm_hyp += w * _word_weight(hyp[i])
+        st.wm_ref += w * _word_weight(ref[j])
+        if last is None or j != last[1] + 1 or i != last[0] + 1:
+            st.chunks += 1
+        last = (i, j)
+    # literal identity zeroes the fragmentation penalty (the jar's special case)
+    if hyp == ref:
+        st.chunks = 0
+    return st
+
+
+def meteor(
+    gts: Dict, res: Dict, synonyms: Optional[Callable[[str, str], bool]] = None
+) -> Tuple[float, List[float]]:
+    """pycocoevalcap-style interface: gts/res are {id: [tokenised string, ...]};
+    returns (corpus score from summed stats, per-item scores). Inputs are expected
+    PTB-tokenised + lowercased (the reference pipeline applies PTBTokenizer first;
+    the jar's -norm flag additionally lowercases, reproduced here)."""
+    agg = SegmentStats()
+    per_item: List[float] = []
+    for key in gts:
+        hyp = res[key][0].lower().split()
+        best: Optional[SegmentStats] = None
+        for ref_s in gts[key]:
+            st = _segment_stats(hyp, ref_s.lower().split(), synonyms)
+            if best is None or st.score() > best.score():
+                best = st
+        per_item.append(best.score())
+        agg.add(best)
+    return agg.score(), per_item
+
+
+def wordnet_synonyms() -> Optional[Callable[[str, str], bool]]:
+    """WordNet-backed synonym module (the jar's third stage). Returns None with a
+    warning when the nltk WordNet corpus is not installed (offline images)."""
+    try:
+        from nltk.corpus import wordnet
+
+        wordnet.synsets("test")  # force corpus load
+    except LookupError:
+        import warnings
+
+        warnings.warn(
+            "nltk WordNet corpus not installed — METEOR runs exact+stem only "
+            "(synonym stage disabled)",
+            RuntimeWarning,
+        )
+        return None
+
+    def related(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        sa = {l.name() for s in wordnet.synsets(a) for l in s.lemmas()}
+        return b in sa or a in {l.name() for s in wordnet.synsets(b) for l in s.lemmas()}
+
+    return related

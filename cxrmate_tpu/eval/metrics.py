@@ -82,10 +82,12 @@ class COCONLGMetrics(_Accumulator):
     per-study CSV dump and DICOM→study mean aggregation (tools/metrics/coco.py)."""
 
     def __init__(self, split, exp_dir, accumulate_over_dicoms, metrics=("bleu", "cider", "rouge"),
-                 use_tokenizer: bool = True):
+                 use_tokenizer: bool = True, meteor_synonyms=None):
         super().__init__(split, exp_dir, "nlg_scores", accumulate_over_dicoms)
         self.metrics = [m.lower() for m in metrics]
         self.use_tokenizer = use_tokenizer
+        # optional METEOR synonym module (eval/meteor.py:wordnet_synonyms)
+        self.meteor_synonyms = meteor_synonyms
 
     def update(self, predictions: Sequence[str], labels: Sequence[Sequence[str]],
                study_ids, dicom_ids=None):
@@ -128,8 +130,15 @@ class COCONLGMetrics(_Accumulator):
             for n in range(4):
                 df[f"bleu_{n + 1}"] = per_item[n]
         if "meteor" in self.metrics:
-            _, per = nlg.meteor_exact(labels, preds)
-            df["meteor_exact"] = per
+            from cxrmate_tpu.eval.meteor import meteor
+
+            _, per = meteor(labels, preds, synonyms=self.meteor_synonyms)
+            df["meteor"] = per
+        if "spice" in self.metrics:
+            from cxrmate_tpu.eval.spice import spice
+
+            _, per = spice(labels, preds)
+            df["spice"] = per
         if "rouge" in self.metrics:
             _, per = nlg.rouge_l(labels, preds)
             df["rouge"] = per

@@ -1,12 +1,12 @@
-"""BLEU, ROUGE-L, CIDEr, METEOR — pure-Python ports of the pycocoevalcap scorers the
+"""BLEU, ROUGE-L, CIDEr — pure-Python ports of the pycocoevalcap scorers the
 reference evaluates with (`/root/reference/tools/metrics/coco.py:2-7`).
 
 BLEU follows BleuScorer exactly (option 'closest', tiny/small fudge factors,
 per-item and corpus scores); ROUGE-L is the LCS F-measure with beta=1.2; CIDEr is
-the tf-idf n-gram cosine with the σ=6 length gaussian and ×10 scaling. METEOR here
-is the exact+stem alignment variant (the reference calls the Java METEOR jar with
-WordNet synonymy, which has no pure-Python equivalent; the difference is documented
-and METEOR is reported as ``meteor_exact``)."""
+the tf-idf n-gram cosine with the σ=6 length gaussian and ×10 scaling. Golden
+fixtures with analytically-derived expected values pin the subtle parts
+(tests/test_eval.py::test_golden_fixtures). METEOR lives in ``eval/meteor.py``
+(staged exact→stem→synonym alignment), SPICE in ``eval/spice.py`` (adapter)."""
 
 from __future__ import annotations
 
@@ -170,59 +170,3 @@ def _all_ngrams(tokens: List[str], n: int) -> Counter:
     return out
 
 
-# ------------------------------------------------------------------------ METEOR
-_ALPHA, _BETA, _GAMMA = 0.9, 3.0, 0.5
-
-
-def _porter_stem(word: str) -> str:
-    """Tiny stemmer (suffix stripping) for METEOR's stem module."""
-    for suf in ("ing", "ed", "es", "s"):
-        if word.endswith(suf) and len(word) > len(suf) + 2:
-            return word[: -len(suf)]
-    return word
-
-
-def meteor_exact(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
-    """METEOR with exact+stem matching (no WordNet synonymy/paraphrase tables —
-    those live in the Java jar the reference shells out to)."""
-    scores = []
-    for key in gts:
-        best = 0.0
-        hyp = res[key][0].split()
-        for ref_s in gts[key]:
-            best = max(best, _meteor_pair(hyp, ref_s.split()))
-        scores.append(best)
-    return float(sum(scores) / max(len(scores), 1)), scores
-
-
-def _meteor_pair(hyp: List[str], ref: List[str]) -> float:
-    if not hyp or not ref:
-        return 0.0
-    # greedy alignment: exact first, then stems
-    ref_used = [False] * len(ref)
-    align = []  # (hyp_idx, ref_idx)
-    for stage in (0, 1):
-        for i, h in enumerate(hyp):
-            if any(a[0] == i for a in align):
-                continue
-            for j, r in enumerate(ref):
-                if ref_used[j]:
-                    continue
-                match = h == r if stage == 0 else _porter_stem(h) == _porter_stem(r)
-                if match:
-                    align.append((i, j))
-                    ref_used[j] = True
-                    break
-    m = len(align)
-    if m == 0:
-        return 0.0
-    p, r = m / len(hyp), m / len(ref)
-    f = p * r / (_ALPHA * p + (1 - _ALPHA) * r)
-    # chunks: contiguous aligned runs
-    align.sort()
-    chunks = 1
-    for (i1, j1), (i2, j2) in zip(align, align[1:]):
-        if not (i2 == i1 + 1 and j2 == j1 + 1):
-            chunks += 1
-    penalty = _GAMMA * (chunks / m) ** _BETA
-    return (1 - penalty) * f

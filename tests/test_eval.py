@@ -65,11 +65,35 @@ def test_cider_orders_similarity():
     assert good_mean > 5.0  # identical corpus scores high (≤10)
 
 
-def test_meteor_exact_basics():
-    gts = {1: ["the heart is normal"], 2: ["clear lungs"]}
-    res = {1: ["the heart is normal"], 2: ["pleural effusion"]}
-    mean, per = nlg.meteor_exact(gts, res)
-    assert per[0] > 0.9 and per[1] == 0.0
+def test_golden_fixtures():
+    """Pin BLEU/CIDEr/ROUGE numerics to analytically-derived pycocoevalcap values
+    (closest-ref ties, fudge factors, BP, df clipping, length gaussian, beta=1.2).
+    See tests/golden/README.md for provenance."""
+    import json
+    import os
+
+    with open(os.path.join(os.path.dirname(__file__), "golden", "nlg_fixtures.json")) as f:
+        fixtures = json.load(f)
+    for case in fixtures["cases"]:
+        gts = {k: list(v) for k, v in case["gts"].items()}
+        res = {k: list(v) for k, v in case["res"].items()}
+        if case["metric"] == "bleu":
+            _, per_item = nlg.bleu(gts, res)
+            for n in range(4):
+                np.testing.assert_allclose(
+                    per_item[n], case["expect_per_item"][n], rtol=1e-12, err_msg=case["note"]
+                )
+        elif case["metric"] == "bleu_corpus":
+            corpus, _ = nlg.bleu(gts, res)
+            np.testing.assert_allclose(corpus, case["expect_corpus"], rtol=1e-12, err_msg=case["note"])
+        elif case["metric"] == "cider":
+            _, per = nlg.cider(gts, res)
+            np.testing.assert_allclose(per, case["expect_per_item"], rtol=1e-12, err_msg=case["note"])
+        elif case["metric"] == "rouge":
+            _, per = nlg.rouge_l(gts, res)
+            np.testing.assert_allclose(per, case["expect_per_item"], rtol=1e-12, err_msg=case["note"])
+        else:
+            raise AssertionError(case["metric"])
 
 
 def test_ptb_tokenizer():
