@@ -220,22 +220,33 @@ def export_encoder_decoder(variables: Dict, enc_cfg: CvtConfig, dec_cfg: BertDec
     out["encoder.projection_head.projection.weight"] = np.asarray(enc["projection_head"]["proj"]["w"]).T
 
     dec = variables["params"]["decoder"]
+    # a LoRA-carrying decoder is PEFT-wrapped in the reference class, which
+    # inserts `base_model.model.` into every decoder key (the released
+    # longitudinal hub checkpoints use these names)
+    has_lora = any("lora_a" in layer["self"][n] for layer in dec["layers"] for n in ("q", "k"))
+    dp = "decoder.base_model.model." if has_lora else "decoder."
     e = dec["embeddings"]
-    out["decoder.bert.embeddings.word_embeddings.weight"] = np.asarray(e["word"])
-    out["decoder.bert.embeddings.position_embeddings.weight"] = np.asarray(e["position"])
-    out["decoder.bert.embeddings.token_type_embeddings.weight"] = np.asarray(e["token_type"])
-    put_ln("decoder.bert.embeddings.LayerNorm", e["ln"])
+    out[f"{dp}bert.embeddings.word_embeddings.weight"] = np.asarray(e["word"])
+    out[f"{dp}bert.embeddings.position_embeddings.weight"] = np.asarray(e["position"])
+    out[f"{dp}bert.embeddings.token_type_embeddings.weight"] = np.asarray(e["token_type"])
+    put_ln(f"{dp}bert.embeddings.LayerNorm", e["ln"])
     for l, layer in enumerate(dec["layers"]):
-        ly = f"decoder.bert.encoder.layer.{l}"
-        put_lin(f"{ly}.attention.self.query", {k: v for k, v in layer["self"]["q"].items() if k in ("w", "b")})
-        put_lin(f"{ly}.attention.self.key", {k: v for k, v in layer["self"]["k"].items() if k in ("w", "b")})
+        ly = f"{dp}bert.encoder.layer.{l}"
+        for name, src in (("q", "query"), ("k", "key")):
+            p_attn = layer["self"][name]
+            base = {k: v for k, v in p_attn.items() if k in ("w", "b")}
+            if "lora_a" in p_attn:
+                # PEFT-wrapped naming, as in the released hub checkpoints (the
+                # longitudinal class wraps q/k in LoraModel before load_state_dict,
+                # longitudinal_gen_prompt_cxr-bert_model_to_hub.ipynb cell 7)
+                put_lin(f"{ly}.attention.self.{src}.base_layer", base)
+                out[f"{ly}.attention.self.{src}.lora_A.default.weight"] = np.asarray(p_attn["lora_a"]).T
+                out[f"{ly}.attention.self.{src}.lora_B.default.weight"] = np.asarray(p_attn["lora_b"]).T
+            else:
+                put_lin(f"{ly}.attention.self.{src}", base)
         put_lin(f"{ly}.attention.self.value", layer["self"]["v"])
         put_lin(f"{ly}.attention.output.dense", layer["self"]["out"])
         put_ln(f"{ly}.attention.output.LayerNorm", layer["self"]["ln"])
-        for name, src in (("q", "query"), ("k", "key")):
-            if "lora_a" in layer["self"][name]:
-                out[f"{ly}.attention.self.{src}.lora_A.default.weight"] = np.asarray(layer["self"][name]["lora_a"]).T
-                out[f"{ly}.attention.self.{src}.lora_B.default.weight"] = np.asarray(layer["self"][name]["lora_b"]).T
         if "cross" in layer:
             put_lin(f"{ly}.crossattention.self.query", layer["cross"]["q"])
             put_lin(f"{ly}.crossattention.self.key", layer["cross"]["k"])
@@ -245,13 +256,13 @@ def export_encoder_decoder(variables: Dict, enc_cfg: CvtConfig, dec_cfg: BertDec
         put_lin(f"{ly}.intermediate.dense", layer["mlp"]["fc1"])
         put_lin(f"{ly}.output.dense", layer["mlp"]["fc2"])
         put_ln(f"{ly}.output.LayerNorm", layer["mlp"]["ln"])
-    put_lin("decoder.cls.predictions.transform.dense", dec["lm_head"]["transform"])
-    put_ln("decoder.cls.predictions.transform.LayerNorm", dec["lm_head"]["ln"])
+    put_lin(f"{dp}cls.predictions.transform.dense", dec["lm_head"]["transform"])
+    put_ln(f"{dp}cls.predictions.transform.LayerNorm", dec["lm_head"]["ln"])
     head = dec["lm_head"]["decoder"]
     head_w = np.asarray(head["w"]).T if "w" in head else np.asarray(e["word"])
-    out["decoder.cls.predictions.decoder.weight"] = head_w
-    out["decoder.cls.predictions.bias"] = np.asarray(head["b"])
-    out["decoder.cls.predictions.decoder.bias"] = out["decoder.cls.predictions.bias"]
+    out[f"{dp}cls.predictions.decoder.weight"] = head_w
+    out[f"{dp}cls.predictions.bias"] = np.asarray(head["b"])
+    out[f"{dp}cls.predictions.decoder.bias"] = out[f"{dp}cls.predictions.bias"]
     return out
 
 

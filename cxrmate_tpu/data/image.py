@@ -54,14 +54,22 @@ def center_crop(arr: np.ndarray, size: int) -> np.ndarray:
 
 
 def random_crop(arr: np.ndarray, size: int, rng: random.Random) -> np.ndarray:
+    arr = pad_if_needed(arr, size)
     h, w = arr.shape[:2]
-    if h < size or w < size:
-        pad_h, pad_w = max(size - h, 0), max(size - w, 0)
-        arr = np.pad(arr, ((pad_h // 2, pad_h - pad_h // 2), (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
-        h, w = arr.shape[:2]
     top = rng.randint(0, h - size)
     left = rng.randint(0, w - size)
     return arr[top : top + size, left : left + size]
+
+
+def pad_if_needed(arr: np.ndarray, size: int) -> np.ndarray:
+    """torchvision RandomCrop(pad_if_needed=True) semantics: pads (size − dim) on
+    BOTH sides of a short dimension (transforms.RandomCrop.forward), unlike
+    CenterCrop's split-half padding."""
+    h, w = arr.shape[:2]
+    pad_h, pad_w = max(size - h, 0), max(size - w, 0)
+    if pad_h or pad_w:
+        arr = np.pad(arr, ((pad_h, pad_h), (pad_w, pad_w), (0, 0)))
+    return arr
 
 
 def normalize_chw(arr_hwc_u8: np.ndarray) -> np.ndarray:
@@ -81,16 +89,30 @@ def eval_transform(img, size: int = 384) -> np.ndarray:
 
 
 def train_transform(img, size: int = 384, rng: Optional[random.Random] = None,
-                    rotation_degrees: float = 5.0) -> np.ndarray:
+                    rotation_degrees: float = 5.0,
+                    crop_ij: Optional[Tuple[int, int]] = None,
+                    angle: Optional[float] = None) -> np.ndarray:
+    """The reference train pipeline IN ORDER (single.py:230-241): Resize(shortest
+    edge) → RandomCrop(384, pad_if_needed) → RandomRotation(±5°, NEAREST, expand
+    False, fill 0) → ToTensor → Normalize. ``crop_ij``/``angle`` inject the random
+    parameters (used by the torchvision parity test); by default they are drawn
+    from ``rng`` in the same order torchvision draws them (crop i, j, then angle)."""
     rng = rng or random.Random()
     img = resize_shortest_edge(img, size)
-    angle = rng.uniform(-rotation_degrees, rotation_degrees)
-    img = img.rotate(-angle, resample=Image.NEAREST, expand=False, fillcolor=0)
-    arr = np.asarray(img)
-    if arr.ndim == 2:
-        arr = np.stack([arr] * 3, axis=-1)
-    arr = random_crop(arr, size, rng)
-    return normalize_chw(arr)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    arr = pad_if_needed(np.asarray(img), size)
+    h, w = arr.shape[:2]
+    if crop_ij is None:
+        crop_ij = (rng.randint(0, h - size), rng.randint(0, w - size))
+    top, left = crop_ij
+    arr = arr[top : top + size, left : left + size]
+    if angle is None:
+        angle = rng.uniform(-rotation_degrees, rotation_degrees)
+    # torchvision F.rotate: counter-clockwise for positive angles, same as
+    # PIL.Image.rotate; NEAREST resample, no expand, zero fill
+    img = Image.fromarray(arr).rotate(angle, resample=Image.NEAREST, expand=False, fillcolor=0)
+    return normalize_chw(np.asarray(img))
 
 
 def make_eval_loader_transform(size: int = 384):

@@ -1,0 +1,124 @@
+"""Train/eval image-transform parity vs the reference torchvision pipeline
+(`/root/reference/modules/lightning_modules/single.py:229-262`).
+
+torchvision itself is not installed in this image, but its PIL backend delegates
+the heavy primitives to PIL (F_pil.resize → Image.resize(BILINEAR); F_pil.rotate
+→ Image.transform with the same inverse-affine matrix Image.rotate builds), so
+the oracle here is an independent in-test transcription of the reference's
+transform COMPOSITION with torchvision's documented parameter semantics:
+
+  * Resize(int): shortest edge → size, other edge scaled with int truncation
+    (torchvision _compute_resized_output_size).
+  * RandomCrop(size, pad_if_needed=True): pads (size − dim) on BOTH sides of a
+    short dimension (transforms.RandomCrop.forward), then crops at (i, j) drawn
+    uniformly over the padded extent.
+  * RandomRotation(5): angle ~ U(−5, 5), counter-clockwise for positive angles,
+    InterpolationMode.NEAREST, expand=False, fill=0.
+  * ToTensor + Normalize(ImageNet mean/std).
+"""
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image
+
+from cxrmate_tpu.data import image as image_mod
+
+
+def _reference_composition(img, size, top, left, angle):
+    """The reference train pipeline, transcribed step by step."""
+    # Resize(shortest_edge)
+    w, h = img.size
+    if w <= h:
+        nw, nh = size, int(size * h / w)
+    else:
+        nw, nh = int(size * w / h), size
+    if (nw, nh) != (w, h):
+        img = img.resize((nw, nh), Image.BILINEAR)
+    img = img.convert("RGB")
+    # RandomCrop(pad_if_needed=True): both-sides padding per short dimension
+    arr = np.asarray(img)
+    hh, ww = arr.shape[:2]
+    pad_h, pad_w = max(size - hh, 0), max(size - ww, 0)
+    if pad_h or pad_w:
+        arr = np.pad(arr, ((pad_h, pad_h), (pad_w, pad_w), (0, 0)))
+    arr = arr[top : top + size, left : left + size]
+    # RandomRotation: torchvision F_pil.rotate == PIL Image.rotate (ccw positive,
+    # NEAREST, no expand, zero fill)
+    out = Image.fromarray(arr).rotate(angle, resample=Image.NEAREST, expand=False, fillcolor=0)
+    # ToTensor + Normalize
+    x = np.asarray(out).astype(np.float32) / 255.0
+    x = (x - image_mod.IMAGENET_MEAN) / image_mod.IMAGENET_STD
+    return np.transpose(x, (2, 0, 1))
+
+
+@pytest.mark.parametrize("hw", [(500, 400), (400, 500), (64, 48), (40, 700)])
+@pytest.mark.parametrize("angle", [-4.2, 0.0, 3.7])
+def test_train_transform_matches_reference_composition(hw, angle):
+    rng = np.random.RandomState(hash(hw) % 2**31)
+    img = Image.fromarray(rng.randint(0, 255, size=(*hw, 3), dtype=np.uint8), "RGB")
+    size = 64
+    # valid crop window inside the (possibly padded) resized image
+    resized = image_mod.resize_shortest_edge(img, size)
+    arr = image_mod.pad_if_needed(np.asarray(resized.convert("RGB")), size)
+    h, w = arr.shape[:2]
+    for top, left in [(0, 0), (h - size, w - size), ((h - size) // 2, (w - size) // 3 if w > size else 0)]:
+        got = image_mod.train_transform(img, size=size, crop_ij=(top, left), angle=angle)
+        want = _reference_composition(img, size, top, left, angle)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_rotation_is_counter_clockwise_after_crop():
+    """Order matters: rotation happens AFTER the crop (the reference composes
+    RandomCrop before RandomRotation), and positive angles are counter-clockwise."""
+    size = 64
+    arr = np.zeros((size, size, 3), np.uint8)
+    arr[:8, :, :] = 255  # bright top band
+    img = Image.fromarray(arr, "RGB")
+    got = image_mod.train_transform(img, size=size, crop_ij=(0, 0), angle=10.0)
+    # counter-clockwise (as viewed, y down): the band's left end moves DOWN,
+    # its right end moves UP/out of frame
+    bright = got[0] > 1.0  # normalized 255 ≈ 2.25 on channel 0
+    rows_left = np.where(bright[:, 5])[0]
+    rows_right = np.where(bright[:, size - 6])[0]
+    assert rows_left.min() > rows_right.min()
+    assert rows_left.max() > rows_right.max()
+    # zero fill is applied BEFORE normalization (fill=0 → −mean/std after ToTensor)
+    fill_value = (0.0 - image_mod.IMAGENET_MEAN[0]) / image_mod.IMAGENET_STD[0]
+    assert got[0, size - 1, size - 1] == pytest.approx(fill_value, rel=1e-6)
+
+
+def test_pad_if_needed_pads_both_sides():
+    """torchvision RandomCrop(pad_if_needed) pads (size − dim) on BOTH sides —
+    a 1-pixel-wide image ends up 2·(size−1)+1 wide, not size wide."""
+    arr = np.full((64, 1, 3), 200, np.uint8)
+    padded = image_mod.pad_if_needed(arr, 64)
+    assert padded.shape == (64, 2 * 63 + 1, 3)
+    assert padded[:, 63].mean() == 200 and padded[:, 0].mean() == 0
+
+
+def test_train_draw_order_matches_torchvision():
+    """Random draws happen in torchvision order: crop i, then j, then angle."""
+    import random
+
+    img = Image.fromarray(np.zeros((100, 80, 3), np.uint8), "RGB")
+    rng = random.Random(0)
+    image_mod.train_transform(img, size=64, rng=rng)
+    rng2 = random.Random(0)
+    i = rng2.randint(0, 100 * 64 // 80 - 64)  # resized h=80→64 ⇒ h=int(64*100/80)=80
+    j = rng2.randint(0, 0)
+    angle = rng2.uniform(-5.0, 5.0)
+    rng3 = random.Random(0)
+    got = image_mod.train_transform(img, size=64, rng=rng3)
+    want = image_mod.train_transform(img, size=64, crop_ij=(i, j), angle=angle)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_eval_center_crop_rounding():
+    """CenterCrop uses round((dim − size)/2) for the offset (torchvision
+    functional.center_crop), banker's rounding included."""
+    arr = np.arange(67 * 67 * 3, dtype=np.uint8).reshape(67, 67, 3)
+    out = image_mod.center_crop(arr, 64)
+    top = int(round((67 - 64) / 2.0))
+    np.testing.assert_array_equal(out, arr[top : top + 64, top : top + 64])
