@@ -1,12 +1,19 @@
 """Benchmark: end-to-end study report generation throughput on one chip.
 
-Flagship path (the reference's test-time configuration, multi-image variant):
-CvT-21@384 encode of a 2-image study + greedy decode of a 256-token report with the
-static-KV-cache while_loop, bfloat16.
+Flagship path (multi-image variant): CvT-21@384 encode of a 2-image study +
+256-token report decode with the static-KV-cache while_loop, bfloat16. Two
+decode modes are measured:
+
+  * greedy, batch 96 — the throughput-serving configuration (the primary metric,
+    comparable across rounds);
+  * beam-4, batch 8 — the reference's actual test-time decode configuration
+    (`/root/reference/config/train/single_tf.yaml:23-24`, num_test_beams 4),
+    with the cross-KV cache shared across beams (generate/beam.py).
 
 Prints ONE JSON line:
   {"metric": "studies/sec/chip (encode + 256-token greedy decode)",
-   "value": ..., "unit": "studies/sec", "vs_baseline": ...}
+   "value": ..., "unit": "studies/sec", "vs_baseline": ...,
+   "beam4_studies_per_sec": ..., "config": {...}}
 
 vs_baseline = TPU studies/sec ÷ single-process CPU studies/sec (the reference's
 torch pipeline is CPU/GPU-bound per study; the driver's north star is ≥20× the CPU
@@ -21,7 +28,9 @@ import time
 
 import numpy as np
 
-BATCH = 16
+BATCH = 96
+BEAM_BATCH = 8
+NUM_BEAMS = 4
 N_IMAGES = 2
 DECODE_TOKENS = 255  # + BOS = 256 total, matching decoder_max_len
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
@@ -75,7 +84,34 @@ def make_pipeline(config, variables, batch, decode_tokens):
     return pipeline
 
 
-def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=None):
+def make_beam_pipeline(config, decode_tokens, num_beams=NUM_BEAMS):
+    import jax
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.generate import GenerationConfig
+    from cxrmate_tpu.generate.beam import beam_search
+    from cxrmate_tpu.models import encoder_decoder as ed
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=decode_tokens,
+        bos_token_id=1, eos_token_id=2, pad_token_id=4,
+        special_token_ids=(3,), num_beams=num_beams,
+    )
+
+    @jax.jit
+    def pipeline(variables, pixels):
+        enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
+        prompt = jnp.full((pixels.shape[0], 1), gen_cfg.bos_token_id, jnp.int32)
+        seqs, _ = beam_search(
+            variables, config, gen_cfg, enc_hidden, enc_mask, prompt, jnp.ones_like(prompt)
+        )
+        return seqs
+
+    return pipeline
+
+
+def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=None,
+        beam=False):
     import jax
 
     if platform:
@@ -90,7 +126,10 @@ def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=
     pixels = jnp.asarray(
         np.random.RandomState(0).randn(batch, N_IMAGES, 3, 384, 384), dtype
     )
-    pipeline = make_pipeline(config, variables, batch, decode_tokens)
+    if beam:
+        pipeline = make_beam_pipeline(config, decode_tokens)
+    else:
+        pipeline = make_pipeline(config, variables, batch, decode_tokens)
     # NOTE: synchronise via host transfer — on the axon backend block_until_ready
     # returns before execution finishes; fetching the (tiny) token output is the
     # only reliable fence. Dispatch is async, so queueing `iters` executions and
@@ -155,10 +194,21 @@ def main():
         print(f"cpu baseline failed: {e}", file=sys.stderr)
         vs = None
     print(
-        f"batch={BATCH} studies, {N_IMAGES} images/study, {DECODE_TOKENS + 1}-token reports; "
-        f"batch latency {dt * 1e3:.1f} ms ({p50 * 1e3:.2f} ms/study)",
+        f"greedy: batch={BATCH} studies, {N_IMAGES} images/study, {DECODE_TOKENS + 1}-token "
+        f"reports; batch latency {dt * 1e3:.1f} ms ({p50 * 1e3:.2f} ms/study)",
         file=sys.stderr,
     )
+    beam_sps = None
+    if os.environ.get("CXRMATE_BENCH_SKIP_BEAM", "0") != "1":
+        try:
+            beam_sps, beam_dt = run(batch=BEAM_BATCH, beam=True)
+            print(
+                f"beam-{NUM_BEAMS}: batch={BEAM_BATCH} studies; batch latency "
+                f"{beam_dt * 1e3:.1f} ms ({beam_dt / BEAM_BATCH * 1e3:.2f} ms/study)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 - beam section is additive
+            print(f"beam bench failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -166,6 +216,14 @@ def main():
                 "value": round(sps, 3),
                 "unit": "studies/sec",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "beam4_studies_per_sec": round(beam_sps, 3) if beam_sps else None,
+                "config": {
+                    "greedy_batch": BATCH,
+                    "beam_batch": BEAM_BATCH,
+                    "num_beams": NUM_BEAMS,
+                    "images_per_study": N_IMAGES,
+                    "report_tokens": DECODE_TOKENS + 1,
+                },
             }
         )
     )

@@ -78,12 +78,21 @@ def beam_search(
             encoder_hidden, encoder_mask, lora=config.lora,
         )
 
-    # tile cache and encoder tensors to B*K (beam-major within batch)
+    # tile the SELF cache to B*K (beam-major within batch); the cross cache and
+    # encoder mask stay at B — beams of a study share them, and bert_step folds
+    # the K beam queries into the cross-attention matmul's M dimension (K× less
+    # KV streaming per step than HF's expand_inputs_for_generation tiling,
+    # identical numerics)
     def tile(x, axis=0):
         return jnp.repeat(x, k, axis=axis)
 
-    cache = jax.tree_util.tree_map(tile, cache)
-    enc_mask_flat = tile(encoder_mask, 0)
+    cache = bert_mod.DecodeCache(
+        self_k=tuple(tile(x) for x in cache.self_k),
+        self_v=tuple(tile(x) for x in cache.self_v),
+        cross_k=cache.cross_k,
+        cross_v=cache.cross_v,
+    )
+    enc_mask_flat = encoder_mask
 
     # ---- state ----
     seq = jnp.pad(

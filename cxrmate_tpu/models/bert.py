@@ -399,8 +399,32 @@ def bert_step(
         return logits[:, 0, :], DecodeCache(
             tuple(self_k), tuple(self_v), cache.cross_k, cache.cross_v
         )
-    self_mask = padding_additive_mask(key_mask)  # [B,1,1,T]
-    cross_mask = padding_additive_mask(encoder_attention_mask)
+    from cxrmate_tpu.ops.decode_attention import decode_attention, kernel_enabled
+
+    self_mask2d = ((1.0 - key_mask.astype(jnp.float32)) * NEG)  # [B, T] additive
+    cross_mask2d = ((1.0 - encoder_attention_mask.astype(jnp.float32)) * NEG)
+    self_mask = self_mask2d[:, None, None, :]  # [B,1,1,T]
+    cross_mask = cross_mask2d[:, None, None, :]
+    bsz = hidden.shape[0]
+    # Beam search shares one cross-KV cache per study across its beams (the KV is
+    # identical for every beam; tiling it K× would K× the dominant HBM traffic of
+    # the decode step). When the cross cache batch is B/K, fold the K beams into
+    # the matmul M dimension: q [B, H, K, Dh] @ k [B, H, S, Dh]ᵀ — exactly the
+    # same math as the tiled form, with K× less KV streaming and an MXU-friendlier
+    # M=K tile.
+    groups = cache.cross_k[0].shape[0]
+    beams = bsz // groups
+    scale = 1.0 / math.sqrt(config.head_dim)
+    # the Pallas decode-attention kernel avoids XLA's HBM-materialised
+    # multiply-reduce lowering of M=1 attention (see ops/decode_attention.py)
+    use_kernel = kernel_enabled()
+    interpret = jax.default_backend() != "tpu"
+
+    def attn(qh, kh, vh, mask4d, mask2d):
+        if use_kernel:
+            return decode_attention(qh, kh, vh, mask2d, scale, interpret=interpret)
+        return attention(qh, kh, vh, scale, mask4d)
+
     self_k, self_v = list(cache.self_k), list(cache.self_v)
     for i, layer in enumerate(params["layers"]):
         sp = layer["self"]
@@ -414,13 +438,21 @@ def bert_step(
         qh, kh, vh = (split_heads(t, heads) for t in (q, k, v))  # [B,H,1,Dh]
         self_k[i] = jax.lax.dynamic_update_slice(self_k[i], kh.astype(self_k[i].dtype), (0, 0, index, 0))
         self_v[i] = jax.lax.dynamic_update_slice(self_v[i], vh.astype(self_v[i].dtype), (0, 0, index, 0))
-        ctx = attention(qh, self_k[i], self_v[i], 1.0 / math.sqrt(config.head_dim), self_mask)
+        ctx = attn(qh, self_k[i], self_v[i], self_mask, self_mask2d)
         hidden = layer_norm(sp["ln"], linear(sp["out"], merge_heads(ctx)) + hidden, config.layer_norm_eps)
 
         cp = layer["cross"]
-        cq = split_heads(linear(cp["q"], hidden), heads)
-        cctx = attention(cq, cache.cross_k[i], cache.cross_v[i], 1.0 / math.sqrt(config.head_dim), cross_mask)
-        hidden = layer_norm(cp["ln"], linear(cp["out"], merge_heads(cctx)) + hidden, config.layer_norm_eps)
+        cq = linear(cp["q"], hidden)  # [B, 1, D]
+        if beams == 1:
+            cctx = merge_heads(
+                attn(split_heads(cq, heads), cache.cross_k[i], cache.cross_v[i],
+                     cross_mask, cross_mask2d)
+            )
+        else:
+            cqh = cq.reshape(groups, beams, heads, config.head_dim).transpose(0, 2, 1, 3)
+            gctx = attn(cqh, cache.cross_k[i], cache.cross_v[i], cross_mask, cross_mask2d)
+            cctx = gctx.transpose(0, 2, 1, 3).reshape(bsz, 1, heads * config.head_dim)
+        hidden = layer_norm(cp["ln"], linear(cp["out"], cctx) + hidden, config.layer_norm_eps)
 
         hidden = _mlp(layer["mlp"], hidden, config)
     logits = bert_lm_head(params, hidden)
