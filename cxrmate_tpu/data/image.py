@@ -116,12 +116,31 @@ def train_transform(img, size: int = 384, rng: Optional[random.Random] = None,
 
 
 def make_eval_loader_transform(size: int = 384):
+    # eval stays PIL-exact end-to-end: output parity with the reference requires
+    # bit-identical decode + resize (single.py:248-262)
     return lambda path: eval_transform(load_image(path), size)
 
 
-def make_train_loader_transform(size: int = 384, seed: int = 0):
+def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: bool = True):
+    """Training loader: native libjpeg decode at a DCT-domain scale chosen so the
+    shortest edge stays ≥ ``size`` (data/native/ — byte-identical to PIL at full
+    scale, low-passed-but-bounded at 1/2..1/8, tolerance-tested), falling back to
+    PIL whenever the native path is unavailable or fails."""
     rng = random.Random(seed)
-    return lambda path: train_transform(load_image(path), size, rng)
+
+    def load(path: str) -> np.ndarray:
+        img = None
+        if native_decode:
+            from cxrmate_tpu.data import native as native_mod
+
+            arr = native_mod.load_jpeg_scaled(path, size)
+            if arr is not None:
+                img = Image.fromarray(arr)
+        if img is None:
+            img = load_image(path)
+        return train_transform(img, size, rng)
+
+    return load
 
 
 # ------------------------------------------------------------- device-side path

@@ -1,0 +1,108 @@
+"""Native (libjpeg) JPEG decode for the training data loader.
+
+Builds ``jpeg_decode.c`` with gcc on first use (same pattern as the native
+tokenizer, ``tokenizer/native/build.py``) and binds via ctypes. The fast path
+decodes at a DCT-domain scale (1/1..1/8) chosen so the shortest edge stays at or
+above the transform's target size — MIMIC-CXR sources are ~2500×3000 px headed
+for 384 px, so the common case is a 1/4-scale decode (~16× less IDCT + resize
+input). Any failure (odd colour space, truncated file, missing toolchain) falls
+back to PIL; the eval path always uses PIL (output-parity requirement).
+
+Tolerance vs PIL is asserted in tests/test_image_transforms.py: at denom=1 the
+decode is byte-identical (both are libjpeg with JDCT_ISLOW); at denom>1 the
+downstream resize sees a DCT-scaled image, bounded-error by construction.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SO_PATH = os.path.join(HERE, "_jpeg_native.so")
+_LIB = None
+_FAILED = False
+
+
+def build(force: bool = False) -> str:
+    src = os.path.join(HERE, "jpeg_decode.c")
+    if os.path.exists(SO_PATH) and not force:
+        if os.path.getmtime(SO_PATH) >= os.path.getmtime(src):
+            return SO_PATH
+    cmd = ["gcc", "-O2", "-shared", "-fPIC", src, "-o", SO_PATH, "-ljpeg"]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return SO_PATH
+
+
+def _lib():
+    global _LIB, _FAILED
+    if _LIB is not None or _FAILED:
+        return _LIB
+    try:
+        lib = ctypes.CDLL(build())
+        lib.jpeg_dims.restype = ctypes.c_int
+        lib.jpeg_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_ulong, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.jpeg_decode_rgb.restype = ctypes.c_int
+        lib.jpeg_decode_rgb.argtypes = [
+            ctypes.c_char_p, ctypes.c_ulong, ctypes.c_int, ctypes.c_char_p,
+        ]
+        _LIB = lib
+    except Exception:  # noqa: BLE001 - toolchain/libjpeg missing → PIL fallback
+        _FAILED = True
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def decode_jpeg(data: bytes, scale_denom: int = 1) -> Optional[np.ndarray]:
+    """Decode JPEG bytes → RGB uint8 [H, W, 3] at 1/scale_denom, or None on
+    failure (caller falls back to PIL)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.jpeg_dims(data, len(data), scale_denom, ctypes.byref(w), ctypes.byref(h)):
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.jpeg_decode_rgb(
+        data, len(data), scale_denom, out.ctypes.data_as(ctypes.c_char_p)
+    )
+    if rc:
+        return None
+    return out
+
+
+def pick_scale_denom(data: bytes, target_shortest: int) -> int:
+    """Largest denom in {1,2,4,8} keeping the decoded shortest edge ≥ target."""
+    lib = _lib()
+    if lib is None:
+        return 1
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.jpeg_dims(data, len(data), 1, ctypes.byref(w), ctypes.byref(h)):
+        return 1
+    shortest = min(w.value, h.value)
+    denom = 1
+    for d in (2, 4, 8):
+        if shortest // d >= target_shortest:
+            denom = d
+    return denom
+
+
+def load_jpeg_scaled(path: str, target_shortest: int) -> Optional[np.ndarray]:
+    """Read + decode a JPEG at the largest DCT scale that keeps the shortest
+    edge ≥ ``target_shortest``. None on any failure."""
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    return decode_jpeg(data, pick_scale_denom(data, target_shortest))

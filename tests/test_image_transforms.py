@@ -115,6 +115,73 @@ def test_train_draw_order_matches_torchvision():
     np.testing.assert_array_equal(got, want)
 
 
+def _jpeg_bytes(arr, mode="RGB", quality=90):
+    import io
+
+    img = Image.fromarray(arr, mode)
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def _smooth_image(h, w):
+    """Photo-like synthetic image (gradients + blobs) — DCT-scaled decode is a
+    low-pass approximation, so tolerance is only meaningful on band-limited
+    content, not white noise."""
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = (
+        127 + 80 * np.sin(x / 97.0) * np.cos(y / 71.0) + 40 * np.sin((x + y) / 211.0)
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_native_jpeg_decode_full_scale_matches_pil():
+    native = pytest.importorskip("cxrmate_tpu.data.native")
+    if not native.available():
+        pytest.skip("native jpeg decoder unavailable (no gcc/libjpeg)")
+    import io
+
+    rng = np.random.RandomState(0)
+    for mode, shape in (("RGB", (80, 100, 3)), ("L", (64, 96))):
+        arr = rng.randint(0, 255, size=shape, dtype=np.uint8)
+        data = _jpeg_bytes(arr, mode)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        nat = native.decode_jpeg(data, 1)
+        # same libjpeg algorithm (JDCT_ISLOW) → byte identity at full scale
+        np.testing.assert_array_equal(nat, pil)
+
+
+def test_native_jpeg_scaled_decode_tolerance(tmp_path):
+    """The DCT-scaled training decode is a documented approximation: resized
+    output stays within a small mean-absolute error of the PIL-exact pipeline
+    on band-limited content."""
+    native = pytest.importorskip("cxrmate_tpu.data.native")
+    if not native.available():
+        pytest.skip("native jpeg decoder unavailable")
+    size = 96
+    arr = _smooth_image(768, 1024)  # denom 8 → 96-px shortest edge exactly
+    path = tmp_path / "big.jpg"
+    path.write_bytes(_jpeg_bytes(arr, "L"))
+
+    scaled = native.load_jpeg_scaled(str(path), size)
+    assert scaled is not None and min(scaled.shape[:2]) >= size
+    a = image_mod.eval_transform(Image.fromarray(scaled), size)
+    b = image_mod.eval_transform(image_mod.load_image(str(path)), size)
+    mad = np.abs(a - b).mean()  # normalized units (std ≈ 0.225 per 57 u8 levels)
+    assert mad < 0.05, mad
+
+
+def test_train_loader_native_fallback(tmp_path):
+    """Non-JPEG (or unreadable) inputs silently fall back to the PIL path."""
+    from PIL import Image as PILImage
+
+    path = tmp_path / "img.png"
+    PILImage.fromarray(np.zeros((64, 64), np.uint8), "L").save(path)  # PNG, not JPEG
+    load = image_mod.make_train_loader_transform(size=32, seed=0, native_decode=True)
+    out = load(str(path))
+    assert out.shape == (3, 32, 32)
+
+
 def test_eval_center_crop_rounding():
     """CenterCrop uses round((dim − size)/2) for the offset (torchvision
     functional.center_crop), banker's rounding included."""
