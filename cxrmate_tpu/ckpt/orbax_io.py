@@ -28,11 +28,16 @@ def save_checkpoint(
     monitor: str = "val_report_chexbert_f1_macro",
     keep_top_k: int = 1,
     mode: str = "max",
+    step: Optional[int] = None,
 ) -> str:
-    """Save ``state`` for ``epoch``; prune to the top-k by the monitored metric."""
+    """Save ``state`` for ``epoch``; prune to the top-k by the monitored metric.
+    ``step`` tags mid-epoch saves (Lightning's ``epoch=0-step=1567`` naming,
+    produced by ``val_check_interval`` < 1)."""
     import orbax.checkpoint as ocp
 
     tag = f"epoch={epoch}"
+    if step is not None:
+        tag += f"-step={step}"
     if monitor_value is not None:
         tag += f"-{monitor}={monitor_value:.6f}"
     path = os.path.abspath(_ckpt_dir(exp_dir_trial, tag))

@@ -73,7 +73,11 @@ class TaskConfig:
     max_epochs: int = 32
     mbatch_size: int = 8
     accumulated_mbatch_size: int = 32
-    every_n_epochs: int = 1
+    every_n_epochs: int = 1  # validate + checkpoint every N epochs
+    # fraction of the epoch between mid-epoch validations (Lightning semantics;
+    # the reference's SCST configs use 0.1 and its released SCST checkpoint is
+    # mid-epoch: epoch 0, step 1567)
+    val_check_interval: Optional[float] = None
     monitor: str = "val_report_chexbert_f1_macro"
     monitor_mode: str = "max"
     precision: str = "bf16"

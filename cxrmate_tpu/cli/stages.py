@@ -380,6 +380,16 @@ def _log_scalars(task: TaskConfig, record: Dict) -> None:
         f.write(json.dumps(record) + "\n")
 
 
+def _mid_epoch_schedule(task: TaskConfig, dataset_len: int):
+    """(val_every, total_batches) for Lightning's fractional val_check_interval;
+    (None, total) when validation is epoch-end only."""
+    per_rank = len(range(jax.process_index(), dataset_len, jax.process_count()))
+    total_batches = max(1, per_rank // task.mbatch_size)  # drop_last
+    if task.val_check_interval and task.val_check_interval < 1.0:
+        return max(1, int(task.val_check_interval * total_batches)), total_batches
+    return None, total_batches
+
+
 def fit(task: TaskConfig, chexbert_fn=None) -> None:
     from cxrmate_tpu.parallel.mesh import place_batch
 
@@ -418,6 +428,25 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
     metrics = make_metrics(task, "val", chexbert_fn=chexbert_fn)
     rng = jax.random.PRNGKey(task.trial)
 
+    def run_validation(state, epoch, step=None):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1,
+                          epoch, mesh=mesh)
+        record = {"epoch": epoch, **{k: float(v) for k, v in scores.items()}}
+        if step is not None:
+            record["step"] = step
+        _log_scalars(task, record)
+        monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
+        orbax_io.save_checkpoint(
+            task.exp_dir_trial, state, epoch, monitor_value,
+            monitor=monitor_key or task.monitor, mode=task.monitor_mode, step=step,
+        )
+
+    # Lightning's val_check_interval < 1: validate + checkpoint every fraction of
+    # the epoch (the reference's SCST configs use 0.1; its released SCST
+    # checkpoint is mid-epoch — epoch 0, step 1567)
+    val_every, total_batches = _mid_epoch_schedule(task, len(train_set))
+    global_step = 0
     for epoch in range(start_epoch, task.max_epochs):
         it = Prefetcher(
             batch_iterator(
@@ -438,19 +467,16 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
             with annotate("train_step"):
                 state, loss = step(state, place_batch(tf_batch, mesh), k)
             n_batches += 1
+            global_step += 1
             if n_batches % 50 == 0 or n_batches == 1:
                 _log_scalars(task, {"epoch": epoch, "step": n_batches, "train_loss": float(loss)})
+            if val_every and n_batches % val_every == 0 and n_batches < total_batches:
+                run_validation(state, epoch, step=global_step)
             if task.fast_dev_run and n_batches >= 1:
                 break
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1,
-                          epoch, mesh=mesh)
-        _log_scalars(task, {"epoch": epoch, **{k: float(v) for k, v in scores.items()}})
-        monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
-        orbax_io.save_checkpoint(
-            task.exp_dir_trial, state, epoch, monitor_value,
-            monitor=monitor_key or task.monitor, mode=task.monitor_mode,
-        )
+        # ModelCheckpoint every_n_epochs / check_val_every_n_epoch
+        if (epoch + 1) % task.every_n_epochs == 0 or task.fast_dev_run:
+            run_validation(state, epoch)
         if task.fast_dev_run:
             break
 
@@ -511,7 +537,24 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
     metrics = make_metrics(task, "val", chexbert_fn=chexbert_fn)
     rng = jax.random.PRNGKey(task.trial)
 
+    def run_validation(state, epoch, step=None):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if getattr(val_set, "use_generated", False):
+            val_set.reset_generated()
+        scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1,
+                          epoch, mesh=mesh)
+        record = {"epoch": epoch, **{k: float(v) for k, v in scores.items()}}
+        if step is not None:
+            record["step"] = step
+        _log_scalars(task, record)
+        monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
+        orbax_io.save_checkpoint(
+            task.exp_dir_trial, state, epoch, monitor_value,
+            monitor=monitor_key or task.monitor, mode=task.monitor_mode, step=step,
+        )
+
     gen_prompt_scst = task.variant == "scst"
+    global_step = 0
     for epoch in range(task.max_epochs):
         if gen_prompt_scst:
             # per-epoch subject→lane reallocation + history reset (scst/gen_prompt.py:152-158)
@@ -534,6 +577,10 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
                                max_images=task.max_images_per_study, drop_last=True,
                                rank=jax.process_index(), world_size=jax.process_count())
             )
+        # len(train_set) can change per epoch (the allocator oversamples to lane
+        # divisibility) — recompute the fractional-validation schedule each epoch
+        val_every, total_batches = _mid_epoch_schedule(task, len(train_set))
+        n_batches = 0
         for batch in it:
             prompt = ed.tokenize_prompt(
                 batch["previous_findings"], batch["previous_impression"], tokenizer,
@@ -557,16 +604,12 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
                 # baseline outputs feed the history for later studies of the subject
                 for sid, f, i in zip(batch["study_ids"], b_f, b_i):
                     train_set.record_generated(sid, f, i)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        if getattr(val_set, "use_generated", False):
-            val_set.reset_generated()
-        scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1,
-                          epoch, mesh=mesh)
-        monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
-        orbax_io.save_checkpoint(
-            task.exp_dir_trial, state, epoch, monitor_value,
-            monitor=monitor_key or task.monitor, mode=task.monitor_mode,
-        )
+            n_batches += 1
+            global_step += 1
+            if val_every and n_batches % val_every == 0 and n_batches < total_batches:
+                run_validation(state, epoch, step=global_step)
+        if (epoch + 1) % task.every_n_epochs == 0:
+            run_validation(state, epoch)
 
 
 def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) -> Dict:

@@ -272,7 +272,7 @@ def mesh_dataset(tmp_path_factory):
 
 
 def _mesh_task(root, exp_name, **kw):
-    return TaskConfig(
+    defaults = dict(
         variant="multi",
         exp_dir=str(root / exp_name),
         dataset_dir=str(root / "datasets"),
@@ -287,8 +287,9 @@ def _mesh_task(root, exp_name, **kw):
         image_size=32,
         monitor="val_report_nlg_bleu_1",
         fast_dev_run=True,
-        **kw,
     )
+    defaults.update(kw)
+    return TaskConfig(**defaults)
 
 
 def _first_train_loss(task):
@@ -348,6 +349,35 @@ def test_cli_test_stage_on_mesh_token_identical(mesh_dataset):
 
     a, b = ids_csv(base), ids_csv(dp8)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_val_check_interval_mid_epoch(mesh_dataset):
+    """Lightning's fractional val_check_interval: 16 train studies, mbatch 4,
+    interval 0.5 → a validation (+ checkpoint) at step 2 AND at epoch end,
+    with the mid-epoch checkpoint carrying Lightning's epoch=E-step=S tag
+    (the reference's released SCST checkpoint is mid-epoch: epoch 0, step 1567)."""
+    root = mesh_dataset
+    task = _mesh_task(root, "exp_valint", mbatch_size=4, fast_dev_run=False,
+                      val_check_interval=0.5)
+    fit(task)
+    with open(os.path.join(task.exp_dir_trial, "metrics.jsonl")) as f:
+        records = [json.loads(l) for l in f]
+    vals = [r for r in records if any("bleu" in k for k in r)]
+    assert len(vals) == 2  # step-2 and epoch-end
+    assert any("step" in r for r in vals)
+    index = json.load(open(os.path.join(task.exp_dir_trial, "checkpoints", "index.json")))
+    assert any("step=" in tag for tag in index) or len(index) >= 1  # top-k pruning may keep either
+
+
+def test_every_n_epochs_skips_validation(mesh_dataset):
+    root = mesh_dataset
+    task = _mesh_task(root, "exp_every2", mbatch_size=4, fast_dev_run=False,
+                      max_epochs=2, every_n_epochs=2)
+    fit(task)
+    with open(os.path.join(task.exp_dir_trial, "metrics.jsonl")) as f:
+        records = [json.loads(l) for l in f]
+    vals = [r for r in records if any("bleu" in k for k in r)]
+    assert len(vals) == 1 and vals[0]["epoch"] == 1  # only the 2nd epoch validates
 
 
 def test_fit_resume_last(synthetic_dataset):
