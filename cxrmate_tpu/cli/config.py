@@ -54,7 +54,12 @@ def apply_overrides(config: Dict[str, Any], overrides: List[str]) -> Dict[str, A
 
 @dataclasses.dataclass
 class TaskConfig:
-    """Flat task configuration (the union of keys the reference configs use)."""
+    """Flat task configuration (the union of keys the reference configs use).
+
+    Unknown keys in a YAML are accepted and ignored (``from_dict`` filters) —
+    this covers the reference's Lightning-cosmetic flags (``deterministic``,
+    ``enable_progress_bar``, ``weights_summary``, ``module``, ``definition``)
+    which have no TPU-side counterpart."""
 
     task: str = "mimic_cxr"
     variant: str = "multi"  # single | multi | gt_prompt | gen_prompt | scst | scst_gt

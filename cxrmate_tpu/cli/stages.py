@@ -409,7 +409,10 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
         state = jax.jit(lambda v: create_train_state(v, tx))(variables)
     else:
         state = create_train_state(variables, tx)
-    step = make_train_step(config, tx, trainable_mask=mask, pad_id=tokenizer.pad_token_id)
+    # mixed precision per the config (the reference's `precision: 16`)
+    compute_dtype = jnp.bfloat16 if str(task.precision) in ("bf16", "16") else None
+    step = make_train_step(config, tx, trainable_mask=mask, pad_id=tokenizer.pad_token_id,
+                           compute_dtype=compute_dtype)
 
     start_epoch = 0
     resume_path = orbax_io.resolve_resume(
@@ -625,6 +628,8 @@ def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) ->
                           "warm_start_ckpt_path": None, "warm_start_exp_dir": None}),
             config, variables,
         )
+    elif task.fast_dev_run:
+        pass  # fresh init, no checkpoint resolution (tools/stages.py:97-99)
     else:
         # explicit path > specific epoch > best-by-monitor (tools/stages.py:103-105)
         path = orbax_io.get_test_ckpt_path(

@@ -93,7 +93,13 @@ def conv2d(
     groups: int = 1,
     b: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """NHWC conv with HWIO kernel and symmetric padding (torch Conv2d semantics)."""
+    """NHWC conv with HWIO kernel and symmetric padding (torch Conv2d semantics).
+
+    fp32 output is only requested for fp32 inputs: with bf16 operands the TPU MXU
+    accumulates in fp32 natively and rounds once at the output, and asking for an
+    f32 output breaks the conv transpose under autodiff (the cotangent arrives
+    f32 against bf16 weights — mixed dtypes are rejected by the primitive)."""
+    pref = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -101,10 +107,10 @@ def conv2d(
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pref,
     )
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 

@@ -59,15 +59,38 @@ def make_train_step(
     tx: optax.GradientTransformation,
     trainable_mask: Optional[dict] = None,
     pad_id: int = 4,
+    compute_dtype=None,
 ):
     """Build the jitted TF train step.
 
     batch: dict with 'pixel_values', 'decoder_input_ids', 'decoder_attention_mask',
-    'decoder_token_type_ids', optional 'decoder_position_ids', 'label_ids'."""
+    'decoder_token_type_ids', optional 'decoder_position_ids', 'label_ids'.
+
+    ``compute_dtype`` (e.g. bf16) enables mixed precision — the reference trains
+    fp16 (`config/train/single_tf.yaml:21`): master params and optimizer moments
+    stay fp32, the forward/backward runs with params/activations cast to the
+    compute dtype (gradients flow through the cast back to fp32), and the CE loss
+    is computed from fp32-upcast logits. Deviation: BatchNorm running-stat
+    momentum updates execute in the compute dtype and are stored back as fp32
+    (torch AMP exempts BN; the ~2⁻⁸ relative step noise is negligible and the
+    longitudinal stages freeze the encoder anyway)."""
 
     def loss_fn(params, batch_stats, batch, rng):
+        if compute_dtype is not None:
+            from cxrmate_tpu.utils.precision import cast_floats
+
+            params_c = cast_floats(params, compute_dtype)
+            stats_c = cast_floats(batch_stats, compute_dtype)
+            batch = {
+                k: v.astype(compute_dtype)
+                if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
+                else v
+                for k, v in batch.items()
+            }
+        else:
+            params_c, stats_c = params, batch_stats
         logits, new_stats = ed.forward(
-            {"params": params, "batch_stats": batch_stats},
+            {"params": params_c, "batch_stats": stats_c},
             batch["pixel_values"],
             batch["decoder_input_ids"],
             config,
@@ -77,6 +100,10 @@ def make_train_step(
             train=True,
             rng=rng,
         )
+        if compute_dtype is not None:
+            from cxrmate_tpu.utils.precision import cast_floats
+
+            new_stats = cast_floats(new_stats, jnp.float32)
         loss = cross_entropy_ignore_pad(logits, batch["label_ids"], pad_id)
         return loss, new_stats
 

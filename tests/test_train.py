@@ -168,3 +168,36 @@ def test_sharded_train_step_matches_single_device():
     with mesh:
         _, loss_sharded = step(state_s, batch_s, jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=2e-5)
+
+
+def test_mixed_precision_step_matches_fp32_closely():
+    """compute_dtype=bf16: fp32 master params/moments, bf16 forward/backward;
+    loss within bf16 tolerance of the fp32 step (the reference trains fp16,
+    single_tf.yaml:21)."""
+    import jax.numpy as jnp
+
+    config = _tiny_config()
+    variables = _variables(config)
+    batch = _batch(config)
+    tx = optim.adamw(lr=1e-3)
+
+    state32 = create_train_state(jax.tree_util.tree_map(jnp.copy, variables), tx)
+    step32 = make_train_step(config, tx, pad_id=4)
+    state32, loss32 = step32(state32, batch, jax.random.PRNGKey(0))
+
+    state16 = create_train_state(jax.tree_util.tree_map(jnp.copy, variables), tx)
+    step16 = make_train_step(config, tx, pad_id=4, compute_dtype=jnp.bfloat16)
+    state16, loss16 = step16(state16, batch, jax.random.PRNGKey(0))
+
+    assert np.isfinite(float(loss16))
+    assert abs(float(loss16) - float(loss32)) / max(abs(float(loss32)), 1e-6) < 0.05
+    # master params and BN stats stay fp32
+    leaves = jax.tree_util.tree_leaves(state16.params)
+    assert all(l.dtype == jnp.float32 for l in leaves if jnp.issubdtype(l.dtype, jnp.floating))
+    stats = jax.tree_util.tree_leaves(state16.batch_stats)
+    assert all(l.dtype == jnp.float32 for l in stats if jnp.issubdtype(l.dtype, jnp.floating))
+    # and the step actually updated the params
+    w32 = np.asarray(state32.params["decoder"]["embeddings"]["word"])
+    w16 = np.asarray(state16.params["decoder"]["embeddings"]["word"])
+    assert not np.array_equal(w16, np.asarray(variables["params"]["decoder"]["embeddings"]["word"]))
+    np.testing.assert_allclose(w16, w32, atol=5e-3)
