@@ -524,8 +524,10 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
         special_token_ids=(pmt_sep, tokenizer.bos_token_id, tokenizer.sep_token_id),
         token_type_sections=(0, 1, 0, 1),
     )
+    scst_dtype = jnp.bfloat16 if str(task.precision) in ("bf16", "16") else None
     rollout, grad_step = make_scst_step(config, gen_sample, gen_base, tx, trainable_mask=mask,
-                                        pad_id=tokenizer.pad_token_id)
+                                        pad_id=tokenizer.pad_token_id,
+                                        compute_dtype=scst_dtype)
 
     def split_fn(token_ids):
         return ed.split_and_decode_sections(

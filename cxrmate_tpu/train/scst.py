@@ -58,6 +58,7 @@ def make_scst_step(
     tx: optax.GradientTransformation,
     trainable_mask: Optional[dict] = None,
     pad_id: int = 4,
+    compute_dtype=None,
 ):
     """Returns (rollout_fn, grad_fn):
 
@@ -65,10 +66,23 @@ def make_scst_step(
     enc_hidden, enc_mask): compiled, no gradients.
 
     grad_fn(state, enc_hidden, enc_mask, prompt, sampled_seq, advantage, ...) →
-    (new_state, loss): one TF re-forward with re-warped logits + AdamW update."""
+    (new_state, loss): one TF re-forward with re-warped logits + AdamW update.
+
+    ``compute_dtype`` (bf16) mirrors the reference's fp16 SCST: rollouts and the
+    gradient re-forward run in the compute dtype, fp32 master params/moments."""
+
+    def _cast(tree):
+        if compute_dtype is None:
+            return tree
+        from cxrmate_tpu.utils.precision import cast_floats
+
+        return cast_floats(tree, compute_dtype)
 
     @jax.jit
     def rollout(variables, pixels, prompt_ids, prompt_mask, rng):
+        variables = _cast(variables)
+        if compute_dtype is not None:
+            pixels = pixels.astype(compute_dtype)
         enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
         enc_hidden = jax.lax.stop_gradient(enc_hidden)
         sampled = generate(
@@ -82,6 +96,8 @@ def make_scst_step(
         return sampled, baseline, enc_hidden, enc_mask
 
     def loss_fn(params, batch_stats, enc_hidden, enc_mask, prompt_len, seq, advantage):
+        params = _cast(params)
+        batch_stats = _cast(batch_stats)
         b, t = seq.shape
         masked_pads = gen_cfg_sample.mask_token_id is not None
         if masked_pads:

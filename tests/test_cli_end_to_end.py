@@ -351,6 +351,27 @@ def test_cli_test_stage_on_mesh_token_identical(mesh_dataset):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_fit_scst_on_mesh(mesh_dataset):
+    """SCST training under a dp=2 mesh: sharded rollout + grad step run and
+    checkpoint (single-study subjects get [NPF]/[NPI] placeholder prompts)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from cxrmate_tpu.cli.stages import fit_scst
+
+    root = mesh_dataset
+    task = _mesh_task(root, "exp_scst_mesh", variant="scst", mbatch_size=2,
+                      accumulated_mbatch_size=2, fast_dev_run=False, mesh_data=2)
+
+    def reward_fn(preds, labels):
+        return np.asarray([min(len(p), 20) / 20.0 for p in preds], np.float32)
+
+    fit_scst(task, reward_fn)
+    ckpts = glob.glob(os.path.join(task.exp_dir_trial, "checkpoints", "epoch=*"))
+    assert ckpts
+
+
 def test_val_check_interval_mid_epoch(mesh_dataset):
     """Lightning's fractional val_check_interval: 16 train studies, mbatch 4,
     interval 0.5 → a validation (+ checkpoint) at step 2 AND at epoch end,
