@@ -290,11 +290,16 @@ def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: i
 
 def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: Dict,
              num_beams: int, epoch: int, loggers=(), mesh=None):
-    it = batch_iterator(dataset, task.mbatch_size, max_images=task.max_images_per_study)
-    if not getattr(dataset, "use_generated", False):
+    if getattr(dataset, "use_generated", False):
         # generated-prompt datasets read history written back during consumption —
-        # never prefetch them (reference: num_workers=0, gen_prompt.py:66-82)
-        it = Prefetcher(it)
+        # never prefetch or parallel-decode them (reference: num_workers=0,
+        # gen_prompt.py:66-82)
+        it = batch_iterator(dataset, task.mbatch_size, max_images=task.max_images_per_study)
+    else:
+        it = Prefetcher(
+            batch_iterator(dataset, task.mbatch_size, max_images=task.max_images_per_study,
+                           num_workers=task.num_workers)
+        )
     for batch in it:
         with annotate("decode"):
             seqs, findings, impression = _decode_step_outputs(
