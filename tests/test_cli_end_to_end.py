@@ -350,6 +350,12 @@ def test_cli_test_stage_on_mesh_token_identical(mesh_dataset):
     a, b = ids_csv(base), ids_csv(dp8)
     pd.testing.assert_frame_equal(a, b)
 
+    # and with tensor parallelism in the mix (dp2×tp4)
+    dp2tp4 = _mesh_task(root, "exp_dp2tp4_test", mesh_data=2, mesh_model=4,
+                        test_ckpt_path=ckpt)
+    run_test_stage(dp2tp4)
+    pd.testing.assert_frame_equal(a, ids_csv(dp2tp4))
+
 
 def test_fit_scst_on_mesh(mesh_dataset):
     """SCST training under a dp=2 mesh: sharded rollout + grad step run and
