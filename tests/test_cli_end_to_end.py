@@ -357,6 +357,33 @@ def test_cli_test_stage_on_mesh_token_identical(mesh_dataset):
     pd.testing.assert_frame_equal(a, ids_csv(dp2tp4))
 
 
+def test_longitudinal_on_mesh_token_identical(mesh_dataset):
+    """gt_prompt (longitudinal) under dp=2: prompt tokenisation + width
+    bucketing + batch padding interact with the mesh; test-stage tokens equal
+    the single-device run from the same checkpoint."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from cxrmate_tpu.ckpt import orbax_io
+
+    root = mesh_dataset
+    base = _mesh_task(root, "exp_long_single", variant="gt_prompt", mesh_data=1,
+                      mbatch_size=2, accumulated_mbatch_size=2)
+    fit(base)
+    run_test_stage(base)
+    ckpt = orbax_io.best_checkpoint(base.exp_dir_trial)
+    dp2 = _mesh_task(root, "exp_long_dp2", variant="gt_prompt", mesh_data=2,
+                     mbatch_size=2, accumulated_mbatch_size=2, test_ckpt_path=ckpt)
+    run_test_stage(dp2)
+
+    def ids_csv(task):
+        files = sorted(glob.glob(os.path.join(task.exp_dir_trial, "generated_report_ids", "*.csv")))
+        return pd.read_csv(files[-1]).sort_values("study_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(ids_csv(base), ids_csv(dp2))
+
+
 def test_fit_scst_on_mesh(mesh_dataset):
     """SCST training under a dp=2 mesh: sharded rollout + grad step run and
     checkpoint (single-study subjects get [NPF]/[NPI] placeholder prompts)."""
