@@ -6,9 +6,12 @@ decode modes are measured:
 
   * greedy, batch 96 — the throughput-serving configuration (the primary metric,
     comparable across rounds);
-  * beam-4, batch 8 — the reference's actual test-time decode configuration
-    (`/root/reference/config/train/single_tf.yaml:23-24`, num_test_beams 4),
-    with the cross-KV cache shared across beams (generate/beam.py).
+  * beam-4, batch 32 — the reference's actual test-time decode configuration
+    (`/root/reference/config/train/single_tf.yaml:23-24`, num_test_beams 4) at
+    its throughput batch, with the cross-KV cache shared across beams and the
+    per-step cache write folded into the beam-reorder matmul (generate/beam.py).
+    The reference's own test batch (mbatch_size 8) is also reported as
+    ``beam4_ref_batch_studies_per_sec``.
 
 Prints ONE JSON line:
   {"metric": "studies/sec/chip (encode + 256-token greedy decode)",
@@ -29,7 +32,8 @@ import time
 import numpy as np
 
 BATCH = 96
-BEAM_BATCH = 8
+BEAM_BATCH = 32       # beam-4 throughput batch (batch sweep in DEVNOTES.md)
+BEAM_REF_BATCH = 8    # the reference's test mbatch_size (single_tf.yaml:16)
 NUM_BEAMS = 4
 N_IMAGES = 2
 DECODE_TOKENS = 255  # + BOS = 256 total, matching decoder_max_len
@@ -198,17 +202,22 @@ def main():
         f"reports; batch latency {dt * 1e3:.1f} ms ({p50 * 1e3:.2f} ms/study)",
         file=sys.stderr,
     )
-    beam_sps = None
+    beam_sps = beam_ref_sps = None
     if os.environ.get("CXRMATE_BENCH_SKIP_BEAM", "0") != "1":
-        try:
-            beam_sps, beam_dt = run(batch=BEAM_BATCH, beam=True)
-            print(
-                f"beam-{NUM_BEAMS}: batch={BEAM_BATCH} studies; batch latency "
-                f"{beam_dt * 1e3:.1f} ms ({beam_dt / BEAM_BATCH * 1e3:.2f} ms/study)",
-                file=sys.stderr,
-            )
-        except Exception as e:  # noqa: BLE001 - beam section is additive
-            print(f"beam bench failed: {e}", file=sys.stderr)
+        for name, bb in (("beam", BEAM_BATCH), ("beam_ref", BEAM_REF_BATCH)):
+            try:
+                sps_b, beam_dt = run(batch=bb, beam=True)
+                print(
+                    f"beam-{NUM_BEAMS}: batch={bb} studies; batch latency "
+                    f"{beam_dt * 1e3:.1f} ms ({beam_dt / bb * 1e3:.2f} ms/study)",
+                    file=sys.stderr,
+                )
+                if name == "beam":
+                    beam_sps = sps_b
+                else:
+                    beam_ref_sps = sps_b
+            except Exception as e:  # noqa: BLE001 - beam section is additive
+                print(f"{name} bench failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -217,9 +226,13 @@ def main():
                 "unit": "studies/sec",
                 "vs_baseline": round(vs, 2) if vs else None,
                 "beam4_studies_per_sec": round(beam_sps, 3) if beam_sps else None,
+                "beam4_ref_batch_studies_per_sec": (
+                    round(beam_ref_sps, 3) if beam_ref_sps else None
+                ),
                 "config": {
                     "greedy_batch": BATCH,
                     "beam_batch": BEAM_BATCH,
+                    "beam_ref_batch": BEAM_REF_BATCH,
                     "num_beams": NUM_BEAMS,
                     "images_per_study": N_IMAGES,
                     "report_tokens": DECODE_TOKENS + 1,

@@ -367,6 +367,7 @@ def bert_step(
     *,
     lora: Optional[LoraConfig] = None,
     use_fused: bool = False,
+    deferred_write: bool = False,
 ) -> Tuple[jnp.ndarray, DecodeCache]:
     """One decode step: token at dynamic position ``index``.
 
@@ -378,14 +379,25 @@ def bert_step(
         all-ones-up-to-index for single/multi — HF semantics).
       use_fused: route each layer through the fused Pallas kernel
         (ops/fused_decode.py) when supported.
-    Returns (logits [B, V], updated cache).
+      deferred_write: do NOT write this step's K/V into the cache. Attention
+        instead reads ``where(col == index, new_kv, cache)`` — the select fuses
+        into the score/context reductions, so the logits are bit-identical to
+        the written-cache path with no materialised cache update. Returns
+        ``(logits, (new_k_tuple, new_v_tuple))`` (each entry [B, H, Dh]) instead
+        of an updated cache; the caller owns folding the new column into its
+        cache carry. Beam search uses this to fuse the per-step cache write
+        into its beam-reorder pass (generate/beam.py) — a separate
+        dynamic-update-slice on the beam-reordered cache layout cost ~4.5 ms per
+        step at batch 32 (sub-tile read-modify-writes).
+    Returns (logits [B, V], updated cache) — or (logits, new-kv tuples) when
+    ``deferred_write`` is set.
     """
     heads = config.num_attention_heads
     hidden = bert_embed(
         params, config, input_id[:, None], token_type_id[:, None], position_id[:, None],
         dtype=cache.cross_k[0].dtype,
     )
-    if use_fused and lora is None:
+    if use_fused and lora is None and not deferred_write:
         from cxrmate_tpu.ops.fused_decode import fused_layer_step_v2
 
         h = hidden[:, 0, :]
@@ -426,6 +438,8 @@ def bert_step(
         return attention(qh, kh, vh, scale, mask4d)
 
     self_k, self_v = list(cache.self_k), list(cache.self_v)
+    pend_k, pend_v = [], []
+    t_cols = jnp.arange(cache.self_k[0].shape[2])
     for i, layer in enumerate(params["layers"]):
         sp = layer["self"]
         if lora is not None:
@@ -436,9 +450,19 @@ def bert_step(
             k = linear(sp["k"], hidden)
         v = linear(sp["v"], hidden)
         qh, kh, vh = (split_heads(t, heads) for t in (q, k, v))  # [B,H,1,Dh]
-        self_k[i] = jax.lax.dynamic_update_slice(self_k[i], kh.astype(self_k[i].dtype), (0, 0, index, 0))
-        self_v[i] = jax.lax.dynamic_update_slice(self_v[i], vh.astype(self_v[i].dtype), (0, 0, index, 0))
-        ctx = attn(qh, self_k[i], self_v[i], self_mask, self_mask2d)
+        if deferred_write:
+            # virtual write: the select fuses into the attention reductions —
+            # same values at every column as the written cache, nothing stored
+            is_new = (t_cols == index)[None, None, :, None]
+            k_read = jnp.where(is_new, kh.astype(self_k[i].dtype), self_k[i])
+            v_read = jnp.where(is_new, vh.astype(self_v[i].dtype), self_v[i])
+            pend_k.append(kh.astype(self_k[i].dtype)[:, :, 0, :])
+            pend_v.append(vh.astype(self_v[i].dtype)[:, :, 0, :])
+        else:
+            self_k[i] = jax.lax.dynamic_update_slice(self_k[i], kh.astype(self_k[i].dtype), (0, 0, index, 0))
+            self_v[i] = jax.lax.dynamic_update_slice(self_v[i], vh.astype(self_v[i].dtype), (0, 0, index, 0))
+            k_read, v_read = self_k[i], self_v[i]
+        ctx = attn(qh, k_read, v_read, self_mask, self_mask2d)
         hidden = layer_norm(sp["ln"], linear(sp["out"], merge_heads(ctx)) + hidden, config.layer_norm_eps)
 
         cp = layer["cross"]
@@ -456,4 +480,6 @@ def bert_step(
 
         hidden = _mlp(layer["mlp"], hidden, config)
     logits = bert_lm_head(params, hidden)
+    if deferred_write:
+        return logits[:, 0, :], (tuple(pend_k), tuple(pend_v))
     return logits[:, 0, :], DecodeCache(tuple(self_k), tuple(self_v), cache.cross_k, cache.cross_v)
