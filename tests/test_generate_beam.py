@@ -145,3 +145,77 @@ def test_beam_early_stopping_parity():
                          jnp.ones((2, 1), jnp.int32))
     got = np.asarray(got)
     np.testing.assert_array_equal(got, _pad_to(expected, got.shape[1], PAD))
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+def test_blockdiag_onehot_reorder_is_exact(dtype):
+    """The beam cache reorder is a block-diagonal one-hot matmul (beam.py) —
+    it must stay bit-exact vs row gathering for every selection pattern,
+    including duplicated source beams (beam duplication is routine in search).
+    """
+    import jax
+
+    rng = np.random.RandomState(0)
+    b, k = 5, 4
+    x = jnp.asarray(rng.randn(b * k, 3, 17, 8), dtype)
+    new_col = jnp.asarray(rng.randn(b * k, 3, 8), dtype)
+    for trial in range(5):
+        sel = jnp.asarray(rng.randint(0, k, (b, k)), jnp.int32)
+        flat = (sel + jnp.arange(b)[:, None] * k).reshape(-1)
+        onehot = jax.nn.one_hot(sel, k, dtype=dtype)
+        oh_full = (
+            onehot[:, :, None, :] * jnp.eye(b, dtype=dtype)[:, None, :, None]
+        ).reshape(b * k, b * k)
+        got = jax.lax.dot_general(
+            oh_full, x, (((1,), (0,)), ((), ())), preferred_element_type=dtype
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(x)[np.asarray(flat)])
+        got_col = jax.lax.dot_general(
+            oh_full, new_col, (((1,), (0,)), ((), ())), preferred_element_type=dtype
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_col), np.asarray(new_col)[np.asarray(flat)]
+        )
+
+
+def test_deferred_write_matches_written_cache():
+    """bert_step(deferred_write=True) must produce bit-identical logits to the
+    written-cache path and return the exact new KV columns."""
+    import jax
+
+    from cxrmate_tpu.models import bert as bert_mod
+
+    cfg = small_bert_cfg_dataclass(vocab_size=61, cross_dim=24)
+    params = bert_mod.init_bert_params(jax.random.PRNGKey(0), cfg)
+    b, t_total, s_enc = 3, 10, 7
+    cache = bert_mod.init_cache(cfg, b, t_total, s_enc, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    enc_hidden = jnp.asarray(rng.randn(b, s_enc, 24), jnp.float32)
+    enc_mask = jnp.ones((b, s_enc), jnp.int32)
+    prompt = jnp.asarray(rng.randint(5, 60, (b, 4)), jnp.int32)
+    types = jnp.zeros_like(prompt)
+    pos = jnp.broadcast_to(jnp.arange(4), (b, 4))
+    _, cache = bert_mod.bert_prefill(
+        params, cfg, cache, prompt, jnp.ones_like(prompt), types, pos,
+        enc_hidden, enc_mask,
+    )
+    tok = jnp.asarray(rng.randint(5, 60, (b,)), jnp.int32)
+    ttype = jnp.zeros((b,), jnp.int32)
+    posn = jnp.full((b,), 4, jnp.int32)
+    key_mask = (jnp.arange(t_total)[None, :] <= 4).astype(jnp.int32) * jnp.ones((b, 1), jnp.int32)
+    idx = jnp.asarray(4, jnp.int32)
+    logits_w, cache_w = bert_mod.bert_step(
+        params, cfg, cache, tok, ttype, posn, idx, key_mask, enc_mask
+    )
+    logits_d, (pend_k, pend_v) = bert_mod.bert_step(
+        params, cfg, cache, tok, ttype, posn, idx, key_mask, enc_mask,
+        deferred_write=True,
+    )
+    np.testing.assert_array_equal(np.asarray(logits_w), np.asarray(logits_d))
+    for i in range(cfg.num_hidden_layers):
+        np.testing.assert_array_equal(
+            np.asarray(cache_w.self_k[i][:, :, 4, :]), np.asarray(pend_k[i])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cache_w.self_v[i][:, :, 4, :]), np.asarray(pend_v[i])
+        )
