@@ -225,6 +225,7 @@ def main():
                 "value": round(sps, 3),
                 "unit": "studies/sec",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "p50_study_latency_ms": round(p50 * 1e3, 3),
                 "beam4_studies_per_sec": round(beam_sps, 3) if beam_sps else None,
                 "beam4_ref_batch_studies_per_sec": (
                     round(beam_ref_sps, 3) if beam_ref_sps else None

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -411,7 +412,11 @@ def bert_step(
         return logits[:, 0, :], DecodeCache(
             tuple(self_k), tuple(self_v), cache.cross_k, cache.cross_v
         )
-    from cxrmate_tpu.ops.decode_attention import decode_attention, kernel_enabled
+    from cxrmate_tpu.ops.decode_attention import (
+        decode_attention,
+        decode_attention_rowgrid,
+        kernel_enabled,
+    )
 
     self_mask2d = ((1.0 - key_mask.astype(jnp.float32)) * NEG)  # [B, T] additive
     cross_mask2d = ((1.0 - encoder_attention_mask.astype(jnp.float32)) * NEG)
@@ -434,6 +439,8 @@ def bert_step(
 
     def attn(qh, kh, vh, mask4d, mask2d):
         if use_kernel:
+            if os.environ.get("CXRMATE_DECODE_KERNEL") == "rowgrid":
+                return decode_attention_rowgrid(qh, kh, vh, mask2d, scale, interpret=interpret)
             return decode_attention(qh, kh, vh, mask2d, scale, interpret=interpret)
         return attention(qh, kh, vh, scale, mask4d)
 

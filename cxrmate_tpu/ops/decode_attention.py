@@ -122,13 +122,16 @@ def decode_attention_rowgrid(
 
 
 def kernel_enabled() -> bool:
-    """Opt-in via CXRMATE_DECODE_KERNEL=1. Off by default: on the axon-tunnelled
-    v5e this kernel measured *slower* than XLA's fused multiply-reduce lowering
-    (532 vs 490 ms per 16-study batch — 12 pallas_call launches per decode step
-    dominate), and MXU bf16×bf16→f32 accumulation rounds differently from XLA's
-    all-f32 elementwise path, so tokens are not bit-identical to the XLA decode.
-    Kept as groundwork: on hardware where per-call overhead is lower, the
-    traffic argument (no HBM-materialised probs) still applies."""
+    """Opt-in via CXRMATE_DECODE_KERNEL=1 (or =rowgrid for the per-row grid).
+    Off by default: on the axon-tunnelled v5e both variants measured *slower*
+    than XLA's fused multiply-reduce lowering — batch 16: 532 vs 490 ms per
+    batch; batch 96: grid (b,h) 33.7 and rowgrid 41.8 vs XLA 45.0 studies/s
+    (per-grid-cell fixed costs dominate the (b,h) grid; the row grid closes
+    most but not all of the gap) — and MXU bf16×bf16→f32 accumulation rounds
+    differently from XLA's all-f32 elementwise path, so tokens are not
+    bit-identical to the XLA decode. Kept as groundwork: on hardware where
+    per-call overhead is lower, the traffic argument (no HBM-materialised
+    probs) still applies."""
     env = os.environ.get("CXRMATE_DECODE_KERNEL")
     if env is not None:
         return env != "0"
