@@ -23,7 +23,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--variant", default="multi",
@@ -32,7 +32,15 @@ def main():
     p.add_argument("--exp-dir", default="experiments/reproduce")
     p.add_argument("--reference-csv", default=None)
     p.add_argument("--greedy", action="store_true", help="greedy instead of beam-4")
-    args = p.parse_args()
+    # model-shape overrides (defaults match the released checkpoints; the smoke
+    # test drives the same code path at tiny shapes, tests/test_cli_end_to_end.py)
+    p.add_argument("--model-preset", default="cxrmate")
+    p.add_argument("--image-size", type=int, default=384)
+    p.add_argument("--decoder-max-len", type=int, default=256)
+    p.add_argument("--mbatch-size", type=int, default=8)
+    p.add_argument("--tokenizer-dir", default=None,
+                   help="defaults to the checkpoint dir (released ckpts bundle tokenizer.json)")
+    args = p.parse_args(argv)
 
     from cxrmate_tpu.cli.config import TaskConfig
     from cxrmate_tpu.cli.stages import test as run_test
@@ -42,9 +50,13 @@ def main():
         exp_dir=args.exp_dir,
         dataset_dir=args.dataset_dir,
         ckpt_zoo_dir=os.path.dirname(args.checkpoint),
-        tokenizer_dir=args.checkpoint,
+        tokenizer_dir=args.tokenizer_dir or args.checkpoint,
         test_ckpt_name=args.checkpoint,
         num_test_beams=1 if args.greedy else 4,
+        model_preset=args.model_preset,
+        image_size=args.image_size,
+        decoder_max_len=args.decoder_max_len,
+        mbatch_size=args.mbatch_size,
     )
     scores = run_test(task)
     for k, v in sorted(scores.items()):

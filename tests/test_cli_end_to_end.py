@@ -446,3 +446,60 @@ def test_fit_resume_last(synthetic_dataset):
     task2 = _task(root, "multi", trial=3, max_epochs=2, resume_last=True)
     fit(task2)
     assert orbax_io.last_checkpoint_epoch(task2.exp_dir_trial) == 1
+
+
+def test_reproduce_test_set_script(synthetic_dataset, tmp_path):
+    """scripts/reproduce_test_set.py end-to-end at tiny shapes: one run freezes
+    a 'reference' generated_reports CSV; a second run through the script diffs
+    against it and must report 100% string identity (the golden-CSV workflow of
+    BASELINE.md, ready for the released checkpoints + real MIMIC data)."""
+    import importlib.util
+    import io
+    from contextlib import redirect_stdout
+
+    torch = pytest.importorskip("torch")
+
+    from cxrmate_tpu.ckpt.hf_convert import export_encoder_decoder
+    from cxrmate_tpu.cli import stages
+
+    root = synthetic_dataset
+    task0 = _task(root, "multi")
+    tok = stages.load_tokenizer(task0)
+    config = stages.build_model_config(task0, len(tok))
+    variables = stages.init_variables(task0, config)
+    sd = export_encoder_decoder(variables, config.encoder, config.decoder)
+    ckpt_dir = tmp_path / "hf_ckpt"
+    ckpt_dir.mkdir()
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        ckpt_dir / "pytorch_model.bin",
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "reproduce_test_set",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "reproduce_test_set.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    common = [
+        "--checkpoint", str(ckpt_dir), "--variant", "multi",
+        "--dataset-dir", str(root / "datasets"),
+        "--tokenizer-dir", str(root / "checkpoints" / "mimic-cxr-tokenizers" / "bpe_prompt"),
+        "--greedy", "--model-preset", "tiny", "--image-size", "32",
+        "--decoder-max-len", "24", "--mbatch-size", "2",
+    ]
+    mod.main(common + ["--exp-dir", str(tmp_path / "exp_ref")])
+    ref_csv = sorted(
+        glob.glob(str(tmp_path / "exp_ref" / "**" / "generated_reports" / "*.csv"), recursive=True)
+    )[-1]
+    assert len(pd.read_csv(ref_csv)) > 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        mod.main(
+            common + ["--exp-dir", str(tmp_path / "exp_rerun"), "--reference-csv", ref_csv]
+        )
+    out = buf.getvalue()
+    assert "findings: 100.00% identical" in out, out
+    assert "impression: 100.00% identical" in out, out
