@@ -205,11 +205,15 @@ def cvt_forward(
     rng: Optional[jax.Array] = None,
     use_flash: bool = False,
     flash_interpret: bool = False,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], dict]:
     """Run the CvT trunk.
 
     Args:
       pixel_values: [B, C, H, W] (NCHW, API parity with the reference).
+      remat: rematerialise each transformer layer in the backward pass
+        (training only) — trades recompute for not storing the stage-0/1
+        attention intermediates.
     Returns:
       (grid tokens [B, H*W, D_last], cls token [B, 1, D_last] or None, new batch_stats)
     """
@@ -234,28 +238,43 @@ def cvt_forward(
 
         dp_rate = _stage_drop_path_rate(config, s)
         stage_new_stats = {"layers": []}
+
+        def layer_body(tokens, lp, lstats, k_attn, k_dp1, k_dp2, kd):
+            attn_in = layer_norm(lp["ln_before"], tokens, config.internal_layer_norm_eps)
+            attn_out, ns = _attention_block(
+                lp["attn"], lstats, attn_in, (h, w), config, s, train, k_attn,
+                use_flash=use_flash, flash_interpret=flash_interpret,
+            )
+            tokens = _drop_path(attn_out, dp_rate, train, k_dp1) + tokens
+
+            y = layer_norm(lp["ln_after"], tokens, config.internal_layer_norm_eps)
+            y = gelu(linear(lp["mlp"]["fc1"], y))
+            y = linear(lp["mlp"]["fc2"], y)
+            if kd is not None:
+                y = dropout(y, config.drop_rate[s], kd)
+            # HF quirk: the residual is added before drop-path is applied.
+            return _drop_path(y + tokens, dp_rate, train, k_dp2), ns
+
+        if remat and train:
+            # memory knob: recompute each layer in the backward instead of
+            # storing its intermediates. At the reference batch this measured
+            # SLOWER (140 vs 121 ms/step, v5e) — XLA does not materialise the
+            # stage-0 scores wholesale anyway — so it stays opt-in
+            # (CXRMATE_REMAT_ENCODER=1) for memory-bound larger batches.
+            layer_body = jax.checkpoint(layer_body)
+
         for li, lp in enumerate(sp["layers"]):
             lstats = batch_stats["stages"][s]["layers"][li]
             if rng is not None:
                 rng, k_attn, k_dp1, k_dp2 = jax.random.split(rng, 4)
             else:
                 k_attn = k_dp1 = k_dp2 = None
-            attn_in = layer_norm(lp["ln_before"], tokens, config.internal_layer_norm_eps)
-            attn_out, ns = _attention_block(
-                lp["attn"], lstats, attn_in, (h, w), config, s, train, k_attn,
-                use_flash=use_flash, flash_interpret=flash_interpret,
-            )
-            stage_new_stats["layers"].append(ns)
-            tokens = _drop_path(attn_out, dp_rate, train, k_dp1) + tokens
-
-            y = layer_norm(lp["ln_after"], tokens, config.internal_layer_norm_eps)
-            y = gelu(linear(lp["mlp"]["fc1"], y))
-            y = linear(lp["mlp"]["fc2"], y)
             if train and config.drop_rate[s] > 0.0 and rng is not None:
                 rng, kd = jax.random.split(rng)
-                y = dropout(y, config.drop_rate[s], kd)
-            # HF quirk: the residual is added before drop-path is applied.
-            tokens = _drop_path(y + tokens, dp_rate, train, k_dp2)
+            else:
+                kd = None
+            tokens, ns = layer_body(tokens, lp, lstats, k_attn, k_dp1, k_dp2, kd)
+            stage_new_stats["layers"].append(ns)
 
         if config.cls_token[s]:
             cls_out, tokens = tokens[:, :1], tokens[:, 1:]
@@ -275,6 +294,7 @@ def cvt_encode(
     rng: Optional[jax.Array] = None,
     use_flash: bool = False,
     flash_interpret: bool = False,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Full encoder: CvT trunk + projection head → [B, H*W, projection_size].
 
@@ -285,7 +305,7 @@ def cvt_encode(
     materialised scores — the fast path for long stage-0/1 sequences)."""
     tokens, _, new_stats = cvt_forward(
         params, batch_stats, pixel_values, config, train=train, rng=rng,
-        use_flash=use_flash, flash_interpret=flash_interpret,
+        use_flash=use_flash, flash_interpret=flash_interpret, remat=remat,
     )
     y = layer_norm(params["projection_head"]["ln"], tokens, config.layer_norm_eps)
     y = linear(params["projection_head"]["proj"], y)

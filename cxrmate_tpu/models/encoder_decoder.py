@@ -44,6 +44,7 @@ def encode_images(
     *,
     train: bool = False,
     rng=None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """Encode pixel values → (encoder_hidden [B, T_enc, P], encoder_mask [B, T_enc],
     new_batch_stats).
@@ -53,12 +54,16 @@ def encode_images(
     per study; mask derives from the all-zero-padding convention."""
     params, stats = variables["params"]["encoder"], variables["batch_stats"]
     if config.variant == "single":
-        hidden, new_stats = cvt_encode(params, stats, pixel_values, config.encoder, train=train, rng=rng)
+        hidden, new_stats = cvt_encode(
+            params, stats, pixel_values, config.encoder, train=train, rng=rng, remat=remat
+        )
         mask = jnp.ones(hidden.shape[:2], dtype=jnp.int32)
         return hidden, mask, new_stats
     b, n = pixel_values.shape[:2]
     flat = pixel_values.reshape((b * n,) + pixel_values.shape[2:])
-    hidden, new_stats = cvt_encode(params, stats, flat, config.encoder, train=train, rng=rng)
+    hidden, new_stats = cvt_encode(
+        params, stats, flat, config.encoder, train=train, rng=rng, remat=remat
+    )
     tokens_per = hidden.shape[1]
     hidden = hidden.reshape(b, n * tokens_per, hidden.shape[-1])
     # modelling_multi.py:80 — an image is padding iff pixel [0,0,0] == 0.0.
@@ -79,6 +84,7 @@ def forward(
     encoder_outputs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     train: bool = False,
     rng=None,
+    remat_encoder: bool = False,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Teacher-forcing forward → (logits [B, L, V], new_batch_stats)."""
     rng_enc = rng_dec = None
@@ -86,7 +92,8 @@ def forward(
         rng_enc, rng_dec = jax.random.split(rng)
     if encoder_outputs is None:
         enc_hidden, enc_mask, new_stats = encode_images(
-            variables, pixel_values, config, train=train, rng=rng_enc
+            variables, pixel_values, config, train=train, rng=rng_enc,
+            remat=remat_encoder,
         )
     else:
         enc_hidden, enc_mask = encoder_outputs

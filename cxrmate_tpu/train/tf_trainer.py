@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -99,6 +100,7 @@ def make_train_step(
             decoder_position_ids=batch.get("decoder_position_ids"),
             train=True,
             rng=rng,
+            remat_encoder=os.environ.get("CXRMATE_REMAT_ENCODER", "0") == "1",
         )
         if compute_dtype is not None:
             from cxrmate_tpu.utils.precision import cast_floats
