@@ -239,3 +239,146 @@ def generate(
     if return_scores:
         return state["seq"], state["scores"]
     return state["seq"]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "cfg_sample", "cfg_base"))
+def scst_rollout_decode(
+    variables,
+    config: EncoderDecoderConfig,
+    cfg_sample: GenerationConfig,
+    cfg_base: GenerationConfig,
+    encoder_hidden: jnp.ndarray,
+    encoder_mask: jnp.ndarray,
+    prompt_ids: jnp.ndarray,
+    prompt_mask: jnp.ndarray,
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SCST rollout: sampled sequences + greedy baselines in ONE decode loop.
+
+    The reference decodes the sampled rollout and the greedy baseline
+    separately off one encoder pass (`scst/gt_prompt.py:94-112,162-178`); both
+    loops stream the full decoder weights every step, so at the reference's
+    SCST microbatch (1, `longitudinal_gen_prompt_cxr-bert.yaml:8`) the two
+    loops are weight-streaming-bound. Here the baseline rows are folded into
+    the same while_loop as extra batch rows (rows [B, 2B)), halving the
+    per-step fixed cost. Both halves are bit-identical to the separate
+    ``generate`` calls: the greedy half is row-local compute, and the sample
+    half slices its rows out of the batched logits before ``categorical`` and
+    mirrors ``generate``'s per-step RNG split sequence exactly (asserted in
+    tests/test_scst.py::test_fused_rollout_matches_separate_decodes).
+
+    Requirements (the SCST configuration): both configs use mask-token
+    attention with the same special ids for pad/bos/eos/mask; they may differ
+    in special_token_ids / token_type_sections (the reference samples with
+    ``(BOS, SEP)`` but decodes the baseline with the full prompt special set,
+    `scst/gt_prompt.py:165`) and in sampling parameters.
+
+    Returns (sampled [B, P + max_new], baseline [B, P + max_new]).
+    """
+    assert cfg_sample.do_sample and not cfg_base.do_sample
+    assert cfg_sample.mask_token_id is not None
+    assert cfg_sample.mask_token_id == cfg_base.mask_token_id
+    assert cfg_sample.max_new_tokens == cfg_base.max_new_tokens
+    for f in ("bos_token_id", "eos_token_id", "pad_token_id"):
+        assert getattr(cfg_sample, f) == getattr(cfg_base, f)
+    params = variables["params"]["decoder"]
+    dcfg = config.decoder
+    b, p_len = prompt_ids.shape
+    max_new = cfg_sample.max_new_tokens
+    t_total = p_len + max_new
+    mask_id = cfg_sample.mask_token_id
+
+    # ---- prompt-side ids per half (the halves differ only in token types) ----
+    types_a = ed.token_ids_to_token_type_ids(
+        prompt_ids, cfg_sample.special_token_ids, cfg_sample.sections()
+    )
+    types_b = ed.token_ids_to_token_type_ids(
+        prompt_ids, cfg_base.special_token_ids, cfg_base.sections()
+    )
+    prompt2 = jnp.concatenate([prompt_ids, prompt_ids], axis=0)
+    ptypes2 = jnp.concatenate([types_a, types_b], axis=0)
+    attn2 = (prompt2 != mask_id).astype(jnp.int32)
+    pos2 = ed.cumulative_position_ids(attn2)
+
+    rows = 2 * b
+    enc2 = jnp.concatenate([encoder_hidden, encoder_hidden], axis=0)
+    encm2 = jnp.concatenate([encoder_mask, encoder_mask], axis=0)
+    cache = bert_mod.init_cache(dcfg, rows, t_total, enc2.shape[1], dtype=enc2.dtype)
+    with jax.named_scope("prefill"):
+        prefill_logits, cache = bert_mod.bert_prefill(
+            params, dcfg, cache, prompt2, attn2, ptypes2, pos2, enc2, encm2,
+            lora=config.lora,
+        )
+
+    seq = jnp.concatenate(
+        [prompt2, jnp.full((rows, max_new), cfg_sample.pad_token_id, prompt2.dtype)], axis=1
+    )
+    key_mask = jnp.concatenate([attn2, jnp.zeros((rows, max_new), jnp.int32)], axis=1)
+    present_a = _specials_present(prompt_ids, cfg_sample)
+    present_b = _specials_present(prompt_ids, cfg_base)
+    real_count = jnp.sum(attn2, axis=1)
+
+    def select_token(logits, step_rng):
+        """Sample rows [0, b) (generate's exact select), argmax rows [b, 2b)."""
+        la = logits[:b].astype(jnp.float32)
+        warped = warp_logits(la, cfg_sample.temperature, cfg_sample.top_k, cfg_sample.top_p)
+        tok_a = jax.random.categorical(step_rng, warped, axis=-1)
+        tok_b = jnp.argmax(logits[b:].astype(jnp.float32), axis=-1)
+        return jnp.concatenate([tok_a, tok_b], axis=0).astype(seq.dtype)
+
+    rng0 = rng
+    first_rng, loop_rng = jax.random.split(rng0)
+    tok0 = select_token(prefill_logits[:, p_len - 1, :], first_rng)
+    finished0 = tok0 == cfg_sample.eos_token_id
+    seq = jax.lax.dynamic_update_slice(seq, tok0[:, None], (0, p_len))
+    new_mask0 = (tok0 != mask_id).astype(jnp.int32)
+    key_mask = jax.lax.dynamic_update_slice(key_mask, new_mask0[:, None], (0, p_len))
+    real_count = real_count + new_mask0
+
+    state = {
+        "seq": seq, "key_mask": key_mask,
+        "present_a": present_a, "present_b": present_b,
+        "real_count": real_count,
+        "cur": jnp.asarray(p_len + 1, jnp.int32),
+        "finished": finished0, "cache": cache, "rng": loop_rng,
+    }
+
+    def cond(s):
+        return (s["cur"] < t_total) & ~jnp.all(s["finished"])
+
+    @jax.named_scope("decode_step")
+    def body(s):
+        i = s["cur"] - 1
+        q_tok = jax.lax.dynamic_slice(s["seq"], (0, i), (rows, 1))[:, 0]
+        prev_tok = jax.lax.dynamic_slice(s["seq"], (0, i - 1), (rows, 1))[:, 0]
+        present_a = s["present_a"] | jnp.stack(
+            [prev_tok[:b] == sp for sp in cfg_sample.special_token_ids], axis=1
+        )
+        present_b = s["present_b"] | jnp.stack(
+            [prev_tok[b:] == sp for sp in cfg_base.special_token_ids], axis=1
+        )
+        ttype = jnp.concatenate(
+            [_type_from_present(present_a, cfg_sample),
+             _type_from_present(present_b, cfg_base)], axis=0
+        )
+        pos = jnp.maximum(s["real_count"] - 1, 0)
+        logits, cache = bert_mod.bert_step(
+            params, dcfg, s["cache"], q_tok, ttype, pos, i, s["key_mask"], encm2,
+            lora=config.lora,
+        )
+        rng_step, rng_next = jax.random.split(s["rng"])
+        tok = select_token(logits, rng_step)
+        tok = jnp.where(s["finished"], cfg_sample.pad_token_id, tok)
+        finished = s["finished"] | (tok == cfg_sample.eos_token_id)
+        seq = jax.lax.dynamic_update_slice(s["seq"], tok[:, None], (0, s["cur"]))
+        nm = (tok != mask_id).astype(jnp.int32)
+        key_mask = jax.lax.dynamic_update_slice(s["key_mask"], nm[:, None], (0, s["cur"]))
+        return {
+            "seq": seq, "key_mask": key_mask,
+            "present_a": present_a, "present_b": present_b,
+            "real_count": s["real_count"] + nm,
+            "cur": s["cur"] + 1, "finished": finished, "cache": cache, "rng": rng_next,
+        }
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state["seq"][:b], state["seq"][b:]
