@@ -114,15 +114,27 @@ def last_checkpoint(exp_dir_trial: str) -> Optional[str]:
 
 def checkpoint_for_epoch(exp_dir_trial: str, epoch: int) -> Optional[str]:
     """Resolve the checkpoint saved for a specific epoch (dlhpcstarter's
-    ``resume_epoch``/``test_epoch`` semantics: pick `epoch=N-...` by number)."""
+    ``resume_epoch``/``test_epoch`` semantics: pick `epoch=N-...` by number).
+
+    With ``val_check_interval`` an epoch can hold several saves
+    (`epoch=N-step=S-...`); pick the LATEST one by step number — the epoch-end
+    save carries no step suffix and sorts last. A lexicographic sort would pick
+    `step=10` before `step=2`."""
     ckpt_root = os.path.join(exp_dir_trial, "checkpoints")
     if not os.path.isdir(ckpt_root):
         return None
+
+    def step_of(tag: str) -> float:
+        m = re.search(r"step=(\d+)", tag)
+        return int(m.group(1)) if m else float("inf")  # epoch-end save wins
+
+    best = None
     for tag in sorted(os.listdir(ckpt_root)):
         m = re.match(r"epoch=(\d+)(-|$)", tag)
         if m and int(m.group(1)) == epoch:
-            return _ckpt_dir(exp_dir_trial, tag)
-    return None
+            if best is None or step_of(tag) > step_of(best):
+                best = tag
+    return _ckpt_dir(exp_dir_trial, best) if best else None
 
 
 def resolve_resume(

@@ -7,6 +7,7 @@ metric, and test with beam search + the full metric battery."""
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Dict, Optional, Tuple
 
@@ -184,11 +185,20 @@ def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
     from cxrmate_tpu.eval.metrics import COCONLGMetrics, CheXbertMetrics, CXRBERTMetric
 
     accumulate = task.variant == "single"
+    # METEOR's synonym stage (the jar's WordNet module) engages automatically
+    # when the nltk corpus is installed; wordnet_synonyms warns and returns
+    # None otherwise (exact+stem only)
+    meteor_syn = None
+    if split == "test":
+        from cxrmate_tpu.eval.meteor import wordnet_synonyms
+
+        meteor_syn = wordnet_synonyms()
     out = {}
     for section in task.sections_to_evaluate:
         out[f"{split}_{section}_nlg"] = COCONLGMetrics(
             f"{split}_{section}", task.exp_dir_trial, accumulate,
             metrics=("bleu", "cider", "rouge") + (("meteor",) if split == "test" else ()),
+            meteor_synonyms=meteor_syn,
         )
         if chexbert_fn is not None:
             out[f"{split}_{section}_chexbert"] = CheXbertMetrics(
@@ -438,6 +448,8 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
 
     def run_validation(state, epoch, step=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if getattr(val_set, "use_generated", False):
+            val_set.reset_generated()  # each validation pass starts prompt history clean
         scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1,
                           epoch, mesh=mesh)
         record = {"epoch": epoch, **{k: float(v) for k, v in scores.items()}}
@@ -618,8 +630,12 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
             global_step += 1
             if val_every and n_batches % val_every == 0 and n_batches < total_batches:
                 run_validation(state, epoch, step=global_step)
-        if (epoch + 1) % task.every_n_epochs == 0:
+            if task.fast_dev_run and n_batches >= 1:
+                break
+        if (epoch + 1) % task.every_n_epochs == 0 or task.fast_dev_run:
             run_validation(state, epoch)
+        if task.fast_dev_run:
+            break
 
 
 def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) -> Dict:
@@ -630,9 +646,12 @@ def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) ->
     mesh = mesh_from_task(task)
     variables = init_variables(task, config)
     if task.test_ckpt_name:
+        # dataclasses.replace, NOT TaskConfig(**task.__dict__): parse_args sets
+        # non-field attributes (_train/_test) on the instance and __dict__
+        # would feed them back into __init__
         variables = resolve_warm_start(
-            TaskConfig(**{**task.__dict__, "warm_start_name": task.test_ckpt_name,
-                          "warm_start_ckpt_path": None, "warm_start_exp_dir": None}),
+            dataclasses.replace(task, warm_start_name=task.test_ckpt_name,
+                                warm_start_ckpt_path=None, warm_start_exp_dir=None),
             config, variables,
         )
     elif task.fast_dev_run:

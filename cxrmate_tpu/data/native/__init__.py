@@ -18,6 +18,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -26,6 +27,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 SO_PATH = os.path.join(HERE, "_jpeg_native.so")
 _LIB = None
 _FAILED = False
+_LOCK = threading.Lock()  # first use happens on concurrent loader-pool threads
 
 
 def build(force: bool = False) -> str:
@@ -33,12 +35,25 @@ def build(force: bool = False) -> str:
     if os.path.exists(SO_PATH) and not force:
         if os.path.getmtime(SO_PATH) >= os.path.getmtime(src):
             return SO_PATH
-    cmd = ["gcc", "-O2", "-shared", "-fPIC", src, "-o", SO_PATH, "-ljpeg"]
+    # compile to a private temp file and move into place atomically so
+    # concurrent builders (loader threads, parallel processes) never load a
+    # partially written library
+    tmp = f"{SO_PATH}.tmp.{os.getpid()}.{threading.get_ident()}"
+    cmd = ["gcc", "-O2", "-shared", "-fPIC", src, "-o", tmp, "-ljpeg"]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
+    os.replace(tmp, SO_PATH)
     return SO_PATH
 
 
 def _lib():
+    global _LIB, _FAILED
+    if _LIB is not None or _FAILED:
+        return _LIB
+    with _LOCK:
+        return _lib_locked()
+
+
+def _lib_locked():
     global _LIB, _FAILED
     if _LIB is not None or _FAILED:
         return _LIB

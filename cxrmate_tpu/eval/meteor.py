@@ -184,7 +184,7 @@ def wordnet_synonyms() -> Optional[Callable[[str, str], bool]]:
         from nltk.corpus import wordnet
 
         wordnet.synsets("test")  # force corpus load
-    except LookupError:
+    except (ImportError, LookupError):
         import warnings
 
         warnings.warn(

@@ -25,6 +25,9 @@ def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
     n = devices.size
     if data is None:
         data = n // model
+    assert data >= 1 and model >= 1, (
+        f"mesh {data}x{model} is empty — model={model} exceeds the {n} available devices?"
+    )
     assert data * model <= n, f"mesh {data}x{model} needs {data * model} devices, have {n}"
     return Mesh(devices[: data * model].reshape(data, model), ("data", "model"))
 

@@ -26,8 +26,15 @@ def initialize_if_needed(coordinator: Optional[str] = None) -> bool:
         return False  # single-host launch: never touch the backend
     try:
         jax.distributed.initialize(coordinator_address=coordinator)
-    except RuntimeError:
-        return False  # already initialised (idempotent call)
+    except RuntimeError as e:
+        # Idempotence only: a repeated initialize is fine, but a real failure
+        # (unreachable coordinator, misconfigured cluster) must propagate —
+        # swallowing it would silently run every host as its own single-host
+        # job (duplicate training, clobbered checkpoints).
+        msg = str(e).lower()
+        if "already" in msg or "once" in msg:
+            return False
+        raise
     return True
 
 

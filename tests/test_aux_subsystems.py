@@ -40,6 +40,21 @@ def test_initialize_if_needed_idempotent(monkeypatch):
     assert multihost.initialize_if_needed() is False  # swallowed, no crash
 
 
+def test_initialize_if_needed_propagates_real_failures(monkeypatch):
+    """Only the already-initialised error is idempotent; a real init failure
+    (unreachable coordinator) must raise, not silently fall back to
+    single-host (which would duplicate training across hosts)."""
+    from cxrmate_tpu.parallel import multihost
+
+    def boom(**kw):
+        raise RuntimeError("connection to coordinator failed: UNAVAILABLE")
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "badhost:1")
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        multihost.initialize_if_needed()
+
+
 def test_resolve_monitor_prefers_configured():
     from cxrmate_tpu.cli.stages import resolve_monitor
 

@@ -503,3 +503,57 @@ def test_reproduce_test_set_script(synthetic_dataset, tmp_path):
     out = buf.getvalue()
     assert "findings: 100.00% identical" in out, out
     assert "impression: 100.00% identical" in out, out
+
+
+def test_test_stage_with_ckpt_name_and_cli_attrs(synthetic_dataset, tmp_path):
+    """cli parse_args sets non-dataclass attrs (_train/_test) on the TaskConfig
+    instance; test() with test_ckpt_name must not feed task.__dict__ back into
+    TaskConfig.__init__ (regression: TypeError on any CLI --test run with a
+    test_ckpt_name config)."""
+    torch = pytest.importorskip("torch")
+
+    from cxrmate_tpu.ckpt.hf_convert import export_encoder_decoder
+    from cxrmate_tpu.cli import stages
+
+    root = synthetic_dataset
+    task0 = _task(root, "multi")
+    tok = stages.load_tokenizer(task0)
+    config = stages.build_model_config(task0, len(tok))
+    variables = stages.init_variables(task0, config)
+    sd = export_encoder_decoder(variables, config.encoder, config.decoder)
+    ckpt_dir = tmp_path / "hf_ckpt"
+    ckpt_dir.mkdir()
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        ckpt_dir / "pytorch_model.bin",
+    )
+    task = _task(root, "multi", test_ckpt_name=str(ckpt_dir))
+    task._train, task._test = False, True  # what cli.config.parse_args does
+    scores = run_test_stage(task)
+    assert any(k.startswith("test_") for k in scores)
+
+
+def test_checkpoint_for_epoch_prefers_epoch_end_save(tmp_path):
+    """With val_check_interval an epoch holds several saves; resume_epoch /
+    test_epoch must resolve the LATEST (numeric step; the epoch-end save has no
+    step suffix and wins), not the lexicographically first tag."""
+    from cxrmate_tpu.ckpt import orbax_io
+
+    root = tmp_path / "trial_0"
+    for tag in ["epoch=0-step=10", "epoch=0-step=2", "epoch=0-bleu=0.5", "epoch=1-step=3"]:
+        (root / "checkpoints" / tag).mkdir(parents=True)
+    got = orbax_io.checkpoint_for_epoch(str(root), 0)
+    assert got.endswith("epoch=0-bleu=0.5"), got
+    # without an epoch-end save, the highest step wins
+    import shutil
+
+    shutil.rmtree(root / "checkpoints" / "epoch=0-bleu=0.5")
+    got = orbax_io.checkpoint_for_epoch(str(root), 0)
+    assert got.endswith("epoch=0-step=10"), got
+
+
+def test_make_mesh_rejects_empty_mesh():
+    from cxrmate_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(AssertionError, match="empty"):
+        make_mesh(None, 4, devices=np.empty((1,), object))
