@@ -437,11 +437,45 @@ def bert_step(
     use_kernel = kernel_enabled()
     interpret = jax.default_backend() != "tpu"
 
+    use_blockdiag = os.environ.get("CXRMATE_BLOCKDIAG_ATTN", "0") == "1"
+
+    def attn_blockdiag(qh, kh, vh, mask2d):
+        """M=1 attention with all heads folded into the matmul M dimension.
+
+        scores[b,h,s] = q[b,h]·k[b,h,s] is expressed as a single dot per batch
+        row by expanding q to a block-diagonal [B, H, H, dh] (zeros off the
+        h==h' block): contracting (h', dh) against k [B, h', S, dh] yields the
+        same per-head products plus exact zeros — an MXU dot (M=H) instead of
+        XLA's VPU multiply_reduce lowering of the M=1 einsum. Adds exact zeros
+        to each f32 reduction, so values can differ from the einsum path by
+        reduction order only (~1 ulp). Measured NEUTRAL on the axon v5e
+        (greedy-96: 44.0 vs 45.0 studies/s — the expanded block-diagonal
+        operands cost what the dot saves), so it stays opt-in
+        (CXRMATE_BLOCKDIAG_ATTN=1) as groundwork for backends with faster dot
+        emitters."""
+        b_, h_, _, dh_ = qh.shape
+        eye = jnp.eye(h_, dtype=qh.dtype)
+        qbd = qh[:, :, 0, None, :] * eye[None, :, :, None]  # [B, H, H', dh]
+        scores = jax.lax.dot_general(
+            qbd, kh, (((2, 3), (1, 3)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [B, H, S]
+        scores = scores * scale + mask2d[:, None, :]
+        probs = jax.nn.softmax(scores, axis=-1).astype(qh.dtype)
+        pbd = probs[:, :, None, :] * eye[None, :, :, None]  # [B, H, H', S]
+        ctx = jax.lax.dot_general(
+            pbd, vh, (((2, 3), (1, 2)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [B, H, dh]
+        return ctx.astype(qh.dtype)[:, :, None, :]
+
     def attn(qh, kh, vh, mask4d, mask2d):
         if use_kernel:
             if os.environ.get("CXRMATE_DECODE_KERNEL") == "rowgrid":
                 return decode_attention_rowgrid(qh, kh, vh, mask2d, scale, interpret=interpret)
             return decode_attention(qh, kh, vh, mask2d, scale, interpret=interpret)
+        if use_blockdiag and qh.shape[2] == 1:
+            return attn_blockdiag(qh, kh, vh, mask2d)
         return attention(qh, kh, vh, scale, mask4d)
 
     self_k, self_v = list(cache.self_k), list(cache.self_v)
