@@ -250,6 +250,12 @@ def beam_search(
         )
         return (new_state, all_hit)
 
+    # NOTE (profiled, batch 32): the beam-reorder dot's output is copied back
+    # into the while-carry buffer every step (~1.9 ms/step of same-layout
+    # copies). A 2-step unroll with a cond-guarded second half-step did NOT
+    # remove them (XLA still places the conditional's outputs in fresh buffers)
+    # and ballooned compile time ~4× through the remote-compile tunnel — keep
+    # the single-step loop.
     state, _ = jax.lax.while_loop(cond, body, (state, all_hit0))
     seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur = state
     return fin_seq[:, 0, :], fin_scores[:, 0]
