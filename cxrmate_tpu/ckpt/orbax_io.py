@@ -124,15 +124,18 @@ def checkpoint_for_epoch(exp_dir_trial: str, epoch: int) -> Optional[str]:
     if not os.path.isdir(ckpt_root):
         return None
 
-    def step_of(tag: str) -> float:
+    def sort_key(tag: str):
         m = re.search(r"step=(\d+)", tag)
-        return int(m.group(1)) if m else float("inf")  # epoch-end save wins
+        step = int(m.group(1)) if m else float("inf")  # epoch-end save wins
+        # tie-break equal steps (e.g. two epoch-end saves after a re-run of
+        # the same epoch) by save recency
+        return (step, os.path.getmtime(_ckpt_dir(exp_dir_trial, tag)))
 
     best = None
     for tag in sorted(os.listdir(ckpt_root)):
         m = re.match(r"epoch=(\d+)(-|$)", tag)
         if m and int(m.group(1)) == epoch:
-            if best is None or step_of(tag) > step_of(best):
+            if best is None or sort_key(tag) > sort_key(best):
                 best = tag
     return _ckpt_dir(exp_dir_trial, best) if best else None
 

@@ -46,8 +46,6 @@ VARIANT_TO_MODEL = {
 def build_model_config(task: TaskConfig, vocab_size: int) -> model_configs.EncoderDecoderConfig:
     variant = VARIANT_TO_MODEL[task.variant]
     if task.model_preset == "tiny":
-        import dataclasses
-
         return model_configs.EncoderDecoderConfig(
             encoder=model_configs.CvtConfig(
                 embed_dim=(8, 12, 16), num_heads=(1, 2, 2), depth=(1, 1, 3),
@@ -185,9 +183,10 @@ def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
     from cxrmate_tpu.eval.metrics import COCONLGMetrics, CheXbertMetrics, CXRBERTMetric
 
     accumulate = task.variant == "single"
-    # METEOR's synonym stage (the jar's WordNet module) engages automatically
-    # when the nltk corpus is installed; wordnet_synonyms warns and returns
-    # None otherwise (exact+stem only)
+    # Pass the WordNet synonym module (the jar's third METEOR stage) through to
+    # the NLG metrics when the nltk corpus is installed; wordnet_synonyms warns
+    # and returns None otherwise (exact+stem only). meteor() only runs the
+    # synonym stage when a module is passed — this plumbing IS the wiring.
     meteor_syn = None
     if split == "test":
         from cxrmate_tpu.eval.meteor import wordnet_synonyms

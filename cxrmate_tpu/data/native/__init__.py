@@ -40,8 +40,12 @@ def build(force: bool = False) -> str:
     # partially written library
     tmp = f"{SO_PATH}.tmp.{os.getpid()}.{threading.get_ident()}"
     cmd = ["gcc", "-O2", "-shared", "-fPIC", src, "-o", tmp, "-ljpeg"]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
-    os.replace(tmp, SO_PATH)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, SO_PATH)
+    finally:
+        if os.path.exists(tmp):  # failed compile/replace: don't leak tmp files
+            os.unlink(tmp)
     return SO_PATH
 
 

@@ -23,9 +23,10 @@ def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
     are requested — lets a 4-device job run on an 8-device host)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
+    assert model >= 1, f"mesh model axis must be >= 1, got {model}"
     if data is None:
         data = n // model
-    assert data >= 1 and model >= 1, (
+    assert data >= 1, (
         f"mesh {data}x{model} is empty — model={model} exceeds the {n} available devices?"
     )
     assert data * model <= n, f"mesh {data}x{model} needs {data * model} devices, have {n}"

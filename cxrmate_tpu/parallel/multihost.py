@@ -11,6 +11,17 @@ from typing import Optional
 
 import jax
 
+_DID_INIT = False  # fallback record when jax's internal state is unavailable
+
+
+def _already_initialized() -> bool:
+    try:
+        from jax._src import distributed as _dist  # no public accessor in this jax
+
+        return getattr(_dist.global_state, "client", None) is not None
+    except Exception:  # noqa: BLE001 - internal layout changed; use our record
+        return _DID_INIT
+
 
 def initialize_if_needed(coordinator: Optional[str] = None) -> bool:
     """Initialise jax.distributed when launched across hosts (no-op single-host).
@@ -21,20 +32,20 @@ def initialize_if_needed(coordinator: Optional[str] = None) -> bool:
     from the environment alone: with no coordinator address configured this returns
     immediately without initialising anything. Returns True iff distributed
     initialisation was performed by this call."""
+    global _DID_INIT
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coordinator:
         return False  # single-host launch: never touch the backend
-    try:
-        jax.distributed.initialize(coordinator_address=coordinator)
-    except RuntimeError as e:
-        # Idempotence only: a repeated initialize is fine, but a real failure
-        # (unreachable coordinator, misconfigured cluster) must propagate —
-        # swallowing it would silently run every host as its own single-host
-        # job (duplicate training, clobbered checkpoints).
-        msg = str(e).lower()
-        if "already" in msg or "once" in msg:
-            return False
-        raise
+    # Idempotence by STATE, not by matching error text (a gRPC 'Address
+    # already in use' from a stale coordinator must NOT be classified as
+    # already-initialised): jax.distributed tracks its client globally.
+    if _already_initialized():
+        return False  # repeated call
+    # Any failure here (unreachable coordinator, misconfigured cluster)
+    # propagates — swallowing it would silently run every host as its own
+    # single-host job (duplicate training, clobbered checkpoints).
+    jax.distributed.initialize(coordinator_address=coordinator)
+    _DID_INIT = True
     return True
 
 

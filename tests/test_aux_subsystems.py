@@ -30,14 +30,19 @@ def test_initialize_if_needed_with_coordinator(monkeypatch):
 
 
 def test_initialize_if_needed_idempotent(monkeypatch):
+    """Repeated calls are detected by jax.distributed's global state, not by
+    matching error text (a gRPC 'Address already in use' must propagate)."""
     from cxrmate_tpu.parallel import multihost
 
     def boom(**kw):
-        raise RuntimeError("distributed.initialize should only be called once")
+        raise AssertionError("initialize must not be called again")
 
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
     monkeypatch.setattr(jax.distributed, "initialize", boom)
-    assert multihost.initialize_if_needed() is False  # swallowed, no crash
+    from jax._src import distributed as jax_dist
+
+    monkeypatch.setattr(jax_dist.global_state, "client", object(), raising=False)
+    assert multihost.initialize_if_needed() is False  # no second init attempt
 
 
 def test_initialize_if_needed_propagates_real_failures(monkeypatch):

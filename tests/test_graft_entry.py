@@ -21,7 +21,7 @@ def test_bench_json_contract(monkeypatch, capsys):
     import json
     import sys
 
-    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    monkeypatch.syspath_prepend(__file__.rsplit("/tests/", 1)[0])
     import bench
 
     monkeypatch.setattr(bench, "run", lambda *a, **k: (42.0, 1.0))
