@@ -6,7 +6,7 @@ decode modes are measured:
 
   * greedy, batch 96 — the throughput-serving configuration (the primary metric,
     comparable across rounds);
-  * beam-4, batch 32 — the reference's actual test-time decode configuration
+  * beam-4, batch 24 — the reference's actual test-time decode configuration
     (`/root/reference/config/train/single_tf.yaml:23-24`, num_test_beams 4) at
     its throughput batch, with the cross-KV cache shared across beams and the
     per-step cache write folded into the beam-reorder matmul (generate/beam.py).
@@ -32,7 +32,8 @@ import time
 import numpy as np
 
 BATCH = 96
-BEAM_BATCH = 32       # beam-4 throughput batch (batch sweep in DEVNOTES.md)
+BEAM_BATCH = 24       # beam-4 throughput batch: 24 studies × 4 beams = 96 rows,
+                      # the same row count as the greedy sweet spot (sweep in DEVNOTES.md)
 BEAM_REF_BATCH = 8    # the reference's test mbatch_size (single_tf.yaml:16)
 NUM_BEAMS = 4
 N_IMAGES = 2
