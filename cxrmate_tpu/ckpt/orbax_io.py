@@ -29,10 +29,20 @@ def save_checkpoint(
     keep_top_k: int = 1,
     mode: str = "max",
     step: Optional[int] = None,
+    n_batches: Optional[int] = None,
+    global_step: Optional[int] = None,
+    extra_files: Optional[Dict[str, str]] = None,
 ) -> str:
     """Save ``state`` for ``epoch``; prune to the top-k by the monitored metric.
     ``step`` tags mid-epoch saves (Lightning's ``epoch=0-step=1567`` naming,
-    produced by ``val_check_interval`` < 1)."""
+    produced by ``val_check_interval`` < 1).
+
+    Every checkpoint also carries a ``MARKER.json`` with the trainer position
+    (epoch, global step, in-epoch batch count) so resume can restart a mid-epoch
+    save INSIDE the same epoch with the loader fast-forwarded — Lightning's
+    ``trainer.fit(ckpt_path=...)`` semantics (reference `tools/stages.py:88`).
+    ``extra_files`` (name → text) are written alongside (e.g. the SCST
+    generated-prompt history)."""
     import orbax.checkpoint as ocp
 
     tag = f"epoch={epoch}"
@@ -41,9 +51,20 @@ def save_checkpoint(
     if monitor_value is not None:
         tag += f"-{monitor}={monitor_value:.6f}"
     path = os.path.abspath(_ckpt_dir(exp_dir_trial, tag))
+    marker = {"epoch": epoch, "step": step, "n_batches": n_batches,
+              "global_step": global_step if global_step is not None else step}
+
+    def _write_meta(ckpt_path: str) -> None:
+        with open(os.path.join(ckpt_path, "MARKER.json"), "w") as f:
+            json.dump(marker, f)
+        for name, content in (extra_files or {}).items():
+            with open(os.path.join(ckpt_path, name), "w") as f:
+                f.write(content)
+
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
+    _write_meta(path)
     index_path = os.path.join(exp_dir_trial, "checkpoints", "index.json")
     index = {}
     if os.path.exists(index_path):
@@ -73,6 +94,7 @@ def save_checkpoint(
     ckptr.wait_until_finished()
     with open(os.path.join(last_path, "EPOCH"), "w") as f:
         f.write(str(epoch))
+    _write_meta(last_path)
     return path
 
 
@@ -185,6 +207,36 @@ def get_test_ckpt_path(
             )
         return path
     return best_checkpoint(exp_dir_trial, monitor_mode)
+
+
+def checkpoint_resume_info(path: str) -> Dict[str, Optional[int]]:
+    """Trainer position of a checkpoint: ``{'epoch', 'step', 'n_batches',
+    'global_step'}`` from its ``MARKER.json``; legacy checkpoints (pre-marker)
+    fall back to tag parsing (``epoch=E[-step=S]``) with unknown ``n_batches``."""
+    marker_path = os.path.join(path, "MARKER.json")
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            info = json.load(f)
+        return {k: info.get(k) for k in ("epoch", "step", "n_batches", "global_step")}
+    base = os.path.basename(os.path.normpath(path))
+    e = re.search(r"epoch=(\d+)", base)
+    s = re.search(r"step=(\d+)", base)
+    return {
+        "epoch": int(e.group(1)) if e else None,
+        "step": int(s.group(1)) if s else None,
+        "n_batches": None,
+        "global_step": int(s.group(1)) if s else None,
+    }
+
+
+def checkpoint_extra_file(path: str, name: str) -> Optional[str]:
+    """Read an ``extra_files`` sidecar written by ``save_checkpoint`` (None when
+    absent, e.g. legacy checkpoints)."""
+    p = os.path.join(path, name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read()
 
 
 def checkpoint_epoch_from_path(path: str) -> Optional[int]:

@@ -78,6 +78,13 @@ def mesh_from_task(task: TaskConfig):
 
     if task.mesh_data is None and task.mesh_model <= 1:
         return None
+    # The GSPMD mesh shards the FULL host batch over its data axis, while the
+    # loaders stride by process rank — combining them would shard the batch
+    # twice (docs/ARCHITECTURE.md "Multi-host × mesh").
+    assert jax.process_count() == 1, (
+        "mesh_data/mesh_model is the single-process GSPMD path; multi-host runs "
+        "use the rank-strided loaders without a mesh"
+    )
     mesh = make_mesh(task.mesh_data, task.mesh_model)
     if mesh.devices.size == 1:
         return None  # 1x1 mesh is the single-device path
@@ -394,6 +401,34 @@ def _log_scalars(task: TaskConfig, record: Dict) -> None:
         f.write(json.dumps(record) + "\n")
 
 
+def _resolve_fit_resume(task: TaskConfig, state):
+    """Restore the trainer position for fit/fit_scst (reference: Lightning
+    ``trainer.fit(ckpt_path=...)`` via `tools/stages.py:88`, which resumes EVERY
+    fit — SCST included — and restarts mid-epoch checkpoints inside the same
+    epoch). Returns (state, start_epoch, skip_batches, global_step, resume_path).
+
+    Mid-epoch checkpoints (``epoch=E-step=S`` tags from ``val_check_interval``)
+    resume into epoch E with the loader fast-forwarded to the saved in-epoch
+    batch count; legacy markerless ones restart epoch E from its beginning
+    (never ``E+1`` — that silently dropped the untrained remainder)."""
+    resume_path = orbax_io.resolve_resume(
+        task.exp_dir_trial, task.resume_last, task.resume_epoch, task.resume_ckpt_path
+    )
+    if not resume_path:
+        return state, 0, 0, 0, None
+    state = orbax_io.restore_checkpoint(resume_path, state)
+    info = orbax_io.checkpoint_resume_info(resume_path)
+    epoch = info["epoch"]
+    if epoch is None:
+        epoch = orbax_io.last_checkpoint_epoch(task.exp_dir_trial)
+    if epoch is None:
+        return state, 0, 0, 0, resume_path
+    gstep = info["global_step"] or 0
+    if info["step"] is not None:  # mid-epoch save
+        return state, epoch, info["n_batches"] or 0, gstep, resume_path
+    return state, epoch + 1, 0, gstep, resume_path
+
+
 def _mid_epoch_schedule(task: TaskConfig, dataset_len: int):
     """(val_every, total_batches) for Lightning's fractional val_check_interval;
     (None, total) when validation is epoch-end only."""
@@ -428,24 +463,16 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
     step = make_train_step(config, tx, trainable_mask=mask, pad_id=tokenizer.pad_token_id,
                            compute_dtype=compute_dtype)
 
-    start_epoch = 0
-    resume_path = orbax_io.resolve_resume(
-        task.exp_dir_trial, task.resume_last, task.resume_epoch, task.resume_ckpt_path
-    )
-    if resume_path:
-        state = orbax_io.restore_checkpoint(resume_path, state)
-        epoch_marker = orbax_io.checkpoint_epoch_from_path(resume_path)
-        if epoch_marker is None:
-            epoch_marker = orbax_io.last_checkpoint_epoch(task.exp_dir_trial)
-        if epoch_marker is not None:
-            start_epoch = epoch_marker + 1
+    state, start_epoch, skip_batches, global_step, _ = _resolve_fit_resume(task, state)
 
     train_set = make_datasets(task, "train", train=True)
     val_set = make_datasets(task, "validate", train=False)
     metrics = make_metrics(task, "val", chexbert_fn=chexbert_fn)
-    rng = jax.random.PRNGKey(task.trial)
+    # per-step keys via fold_in(base, global_step): the dropout stream of a
+    # resumed run equals the uninterrupted run's by construction
+    base_rng = jax.random.PRNGKey(task.trial)
 
-    def run_validation(state, epoch, step=None):
+    def run_validation(state, epoch, step=None, n_batches=None, gstep=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if getattr(val_set, "use_generated", False):
             val_set.reset_generated()  # each validation pass starts prompt history clean
@@ -459,43 +486,50 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
         orbax_io.save_checkpoint(
             task.exp_dir_trial, state, epoch, monitor_value,
             monitor=monitor_key or task.monitor, mode=task.monitor_mode, step=step,
+            n_batches=n_batches, global_step=gstep,
         )
 
     # Lightning's val_check_interval < 1: validate + checkpoint every fraction of
     # the epoch (the reference's SCST configs use 0.1; its released SCST
     # checkpoint is mid-epoch — epoch 0, step 1567)
     val_every, total_batches = _mid_epoch_schedule(task, len(train_set))
-    global_step = 0
     for epoch in range(start_epoch, task.max_epochs):
+        if hasattr(train_set.load_image, "set_epoch"):
+            train_set.load_image.set_epoch(epoch)
+        skip = skip_batches if epoch == start_epoch else 0
         it = Prefetcher(
             batch_iterator(
                 train_set, task.mbatch_size, shuffle=True, seed=epoch,
                 max_images=task.max_images_per_study, drop_last=True,
                 rank=jax.process_index(), world_size=jax.process_count(),
-                num_workers=task.num_workers,
+                num_workers=task.num_workers, skip_batches=skip,
             )
         )
-        n_batches = 0
+        n_batches = skip
+        fresh = 0
         for batch in it:
             tf_batch = build_tf_batch(
                 tokenizer, config, batch["images"].astype(np.float32),
                 batch["findings"], batch["impression"],
                 batch.get("previous_findings"), batch.get("previous_impression"),
             )
-            rng, k = jax.random.split(rng)
+            k = jax.random.fold_in(base_rng, global_step)
             with annotate("train_step"):
                 state, loss = step(state, place_batch(tf_batch, mesh), k)
             n_batches += 1
+            fresh += 1
             global_step += 1
             if n_batches % 50 == 0 or n_batches == 1:
                 _log_scalars(task, {"epoch": epoch, "step": n_batches, "train_loss": float(loss)})
             if val_every and n_batches % val_every == 0 and n_batches < total_batches:
-                run_validation(state, epoch, step=global_step)
-            if task.fast_dev_run and n_batches >= 1:
+                run_validation(state, epoch, step=global_step, n_batches=n_batches,
+                               gstep=global_step)
+            if task.fast_dev_run and fresh >= 1:
                 break
+        it.close()
         # ModelCheckpoint every_n_epochs / check_val_every_n_epoch
         if (epoch + 1) % task.every_n_epochs == 0 or task.fast_dev_run:
-            run_validation(state, epoch)
+            run_validation(state, epoch, gstep=global_step)
         if task.fast_dev_run:
             break
 
@@ -556,9 +590,24 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
     train_set = make_datasets(task, "train", train=True)
     val_set = make_datasets(task, "validate", train=False)
     metrics = make_metrics(task, "val", chexbert_fn=chexbert_fn)
-    rng = jax.random.PRNGKey(task.trial)
+    base_rng = jax.random.PRNGKey(task.trial)
+    gen_prompt_scst = task.variant == "scst"
 
-    def run_validation(state, epoch, step=None):
+    # Resume (VERDICT r2 item 2; reference `tools/stages.py:88` resumes every
+    # fit, SCST included). Mid-epoch saves restart inside the same epoch with
+    # the loader fast-forwarded; the generated-prompt history written back
+    # earlier in that epoch is restored from the checkpoint sidecar, and the
+    # epoch's subject→lane allocation is reconstructed from its seed.
+    state, start_epoch, skip_batches, global_step, resume_path = _resolve_fit_resume(task, state)
+    resume_history = None
+    if resume_path and skip_batches and gen_prompt_scst:
+        blob = orbax_io.checkpoint_extra_file(resume_path, "scst_history.json")
+        if blob is not None:
+            import json as _json
+
+            resume_history = _json.loads(blob)
+
+    def run_validation(state, epoch, step=None, n_batches=None, gstep=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if getattr(val_set, "use_generated", False):
             val_set.reset_generated()
@@ -569,45 +618,56 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
             record["step"] = step
         _log_scalars(task, record)
         monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
+        extra_files = None
+        if gen_prompt_scst and step is not None:
+            import json as _json
+
+            extra_files = {"scst_history.json": _json.dumps(train_set.export_generated())}
         orbax_io.save_checkpoint(
             task.exp_dir_trial, state, epoch, monitor_value,
             monitor=monitor_key or task.monitor, mode=task.monitor_mode, step=step,
+            n_batches=n_batches, global_step=gstep, extra_files=extra_files,
         )
 
-    gen_prompt_scst = task.variant == "scst"
-    global_step = 0
-    for epoch in range(task.max_epochs):
+    for epoch in range(start_epoch, task.max_epochs):
+        if hasattr(train_set.load_image, "set_epoch"):
+            train_set.load_image.set_epoch(epoch)
+        skip = skip_batches if epoch == start_epoch else 0
         if gen_prompt_scst:
             # per-epoch subject→lane reallocation + history reset (scst/gen_prompt.py:152-158)
             train_set.allocate_subjects_to_rank(
                 seed=(epoch + task.trial + 1) * (task.trial + 1)
             )
             train_set.reset_generated()
+            if skip and resume_history is not None:
+                train_set.import_generated(resume_history)
             # DistributedSampler(shuffle=False) semantics: rank-strided, in allocator
             # order (scst/gen_prompt.py:118); lanes were packed per rank×mbatch slot.
             # No prefetch: __getitem__ reads history written back after each step
             # (the reference's num_workers=0 loaders, gen_prompt.py:66-82).
             it = batch_iterator(train_set, task.mbatch_size, max_images=task.max_images_per_study,
                                 drop_last=True, rank=jax.process_index(),
-                                world_size=jax.process_count())
+                                world_size=jax.process_count(), skip_batches=skip)
         else:
             # scst_gt inherits GTPrompt's ordinary shuffled loader (gt_prompt.py via
             # scst/gt_prompt.py:8 — no sampler/history overrides)
             it = Prefetcher(
                 batch_iterator(train_set, task.mbatch_size, shuffle=True, seed=epoch,
                                max_images=task.max_images_per_study, drop_last=True,
-                               rank=jax.process_index(), world_size=jax.process_count())
+                               rank=jax.process_index(), world_size=jax.process_count(),
+                               skip_batches=skip)
             )
         # len(train_set) can change per epoch (the allocator oversamples to lane
         # divisibility) — recompute the fractional-validation schedule each epoch
         val_every, total_batches = _mid_epoch_schedule(task, len(train_set))
-        n_batches = 0
+        n_batches = skip
+        fresh = 0
         for batch in it:
             prompt = ed.tokenize_prompt(
                 batch["previous_findings"], batch["previous_impression"], tokenizer,
                 task.decoder_max_len, add_bos_token_id=True,
             )
-            rng, k = jax.random.split(rng)
+            k = jax.random.fold_in(base_rng, global_step)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -626,13 +686,17 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
                 for sid, f, i in zip(batch["study_ids"], b_f, b_i):
                     train_set.record_generated(sid, f, i)
             n_batches += 1
+            fresh += 1
             global_step += 1
             if val_every and n_batches % val_every == 0 and n_batches < total_batches:
-                run_validation(state, epoch, step=global_step)
-            if task.fast_dev_run and n_batches >= 1:
+                run_validation(state, epoch, step=global_step, n_batches=n_batches,
+                               gstep=global_step)
+            if task.fast_dev_run and fresh >= 1:
                 break
+        if hasattr(it, "close"):
+            it.close()
         if (epoch + 1) % task.every_n_epochs == 0 or task.fast_dev_run:
-            run_validation(state, epoch)
+            run_validation(state, epoch, gstep=global_step)
         if task.fast_dev_run:
             break
 
@@ -697,6 +761,55 @@ def build_cxrbert_reward(task: TaskConfig):
     return CXRBERTReward(params, cfg, tok)
 
 
+def build_bertscorer(task: TaskConfig):
+    """Load the BERTScore encoder from the checkpoint zoo.
+
+    The reference unconditionally registers ``BERTScoreRoBERTaLarge`` for every
+    test section (`modules/lightning_modules/single.py:157-169`): roberta-large,
+    hidden layer 17, ``rescale_with_baseline=True``
+    (`tools/metrics/bertscore.py:84-94`). Offline, the model lives in the zoo as
+    an HF checkpoint dir (``roberta-large`` or ``FacebookAI/roberta-large``) and
+    the rescale baseline as bert-score's ``roberta-large.tsv`` next to the
+    weights (missing baseline → warn and report unrescaled scores)."""
+    import warnings
+
+    from cxrmate_tpu.eval.bertscore import (
+        BERTScorer, RobertaBPETokenizer, convert_roberta, load_rescale_baseline,
+    )
+
+    candidates = [
+        os.path.join(task.ckpt_zoo_dir, "roberta-large"),
+        os.path.join(task.ckpt_zoo_dir, "FacebookAI", "roberta-large"),
+    ]
+    path = next((p for p in candidates if os.path.isdir(p)), None)
+    if path is None:
+        raise FileNotFoundError(
+            f"no roberta-large checkpoint dir under {task.ckpt_zoo_dir} "
+            f"(looked for {candidates})"
+        )
+    params, cfg = convert_roberta(orbax_io.load_hf_pretrained_dir(path))
+    tok = RobertaBPETokenizer.from_dir(path)
+    num_layers = min(17, cfg.num_hidden_layers)  # roberta-large: layer 17
+    baseline = None
+    for bl in (os.path.join(path, "roberta-large.tsv"),
+               os.path.join(path, "rescale_baseline.tsv")):
+        if os.path.exists(bl):
+            baseline = load_rescale_baseline(bl, num_layers)
+            break
+    if baseline is None:
+        warnings.warn(
+            "BERTScore rescale baseline file not found next to the roberta-large "
+            "weights — reporting raw (unrescaled) scores; the reference rescales "
+            "(tools/metrics/bertscore.py:93)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return BERTScorer(
+        params, cfg, tok, num_layers=num_layers, roberta_positions=True,
+        baseline=baseline, max_length=cfg.max_position_embeddings - 2,
+    )
+
+
 def build_chexbert_fn(task: TaskConfig):
     """Load the CheXbert labeler (Stanford checkpoint + bert-base-uncased vocab)."""
     from cxrmate_tpu.eval.chexbert import BERT_BASE, chexbert_predict, convert_chexbert
@@ -738,7 +851,9 @@ def main(argv=None):
         else:
             fit(task, chexbert_fn=chexbert_fn)
     if getattr(task, "_test", False):
-        scores = test(task, chexbert_fn=chexbert_fn, reward_fn=_optional(build_cxrbert_reward, task))
+        scores = test(task, chexbert_fn=chexbert_fn,
+                      reward_fn=_optional(build_cxrbert_reward, task),
+                      bertscorer=_optional(build_bertscorer, task))
         for k, v in sorted(scores.items()):
             print(f"{k}: {v}")
 

@@ -128,6 +128,23 @@ class PreviousReportDataset(StudyDataset):
         self.history["generated_findings"] = pd.Series(np.nan, index=self.history.index, dtype=object)
         self.history["generated_impression"] = pd.Series(np.nan, index=self.history.index, dtype=object)
 
+    def export_generated(self) -> Dict:
+        """Snapshot of the generated-prompt history (study_id → [findings,
+        impression]) — persisted next to mid-epoch SCST checkpoints so resume can
+        reconstruct the prompts already written back this epoch."""
+        sel = self.history["generated_findings"].notna()
+        sub = self.history.loc[
+            sel, ["study_id", "generated_findings", "generated_impression"]
+        ].drop_duplicates("study_id")
+        return {
+            str(int(s)): [f, i]
+            for s, f, i in sub.itertuples(index=False)
+        }
+
+    def import_generated(self, mapping: Dict) -> None:
+        for sid, (f, i) in mapping.items():
+            self.record_generated(int(sid), f, i)
+
     def __getitem__(self, index) -> Dict:
         out = StudyDataset.__getitem__(self, index)
         example = self.df.loc[self.df["study_id"] == self.examples[index]]

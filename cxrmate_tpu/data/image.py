@@ -125,8 +125,16 @@ def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: b
     """Training loader: native libjpeg decode at a DCT-domain scale chosen so the
     shortest edge stays ≥ ``size`` (data/native/ — byte-identical to PIL at full
     scale, low-passed-but-bounded at 1/2..1/8, tolerance-tested), falling back to
-    PIL whenever the native path is unavailable or fails."""
-    rng = random.Random(seed)
+    PIL whenever the native path is unavailable or fails.
+
+    Augmentation draws come from a per-call RNG seeded by (seed, epoch, path) —
+    deterministic regardless of loader-thread scheduling (a single shared RNG
+    would assign draws in pool-completion order), and varying across epochs like
+    torch DataLoader worker seeds. The trainer advances the epoch via
+    ``load.set_epoch(e)``."""
+    import zlib
+
+    state = {"epoch": 0}
 
     def load(path: str) -> np.ndarray:
         img = None
@@ -138,8 +146,12 @@ def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: b
                 img = Image.fromarray(arr)
         if img is None:
             img = load_image(path)
+        rng = random.Random(
+            (seed * 1_000_003 + state["epoch"]) * 4_294_967_291 + zlib.crc32(path.encode())
+        )
         return train_transform(img, size, rng)
 
+    load.set_epoch = lambda e: state.__setitem__("epoch", int(e))
     return load
 
 

@@ -38,14 +38,19 @@ def batch_iterator(
     rank: int = 0,
     world_size: int = 1,
     num_workers: int = 0,
+    skip_batches: int = 0,
 ) -> Iterator[Dict]:
     """Sequential (or shuffled) batches; with world_size > 1, rank r takes strided
     samples like a DistributedSampler(shuffle=False). ``num_workers`` > 0 decodes a
-    batch's JPEGs on a thread pool (PIL releases the GIL)."""
+    batch's JPEGs on a thread pool (PIL releases the GIL). ``skip_batches`` fast-
+    forwards past the first N per-rank batches without touching the dataset
+    (mid-epoch resume: same seed → same order → the untrained remainder)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
     order = order[rank::world_size]
+    if skip_batches:
+        order = order[skip_batches * batch_size :]
     pool = None
     if num_workers > 0:
         from concurrent.futures import ThreadPoolExecutor
@@ -81,23 +86,63 @@ class Prefetcher:
         self.queue: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
         self._error: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._iterator = iterator
         self.thread = threading.Thread(target=self._run, args=(iterator,), daemon=True)
         self.thread.start()
 
     def _run(self, iterator):
         try:
             for item in iterator:
-                self.queue.put(item)
+                # bounded put so an abandoned consumer (early break) cannot leave
+                # this thread (and the inner loader pool) blocked forever
+                while not self._stop.is_set():
+                    try:
+                        self.queue.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except BaseException as e:  # propagate to the consumer
             self._error = e
         finally:
-            self.queue.put(self._done)
+            while True:
+                try:
+                    self.queue.put_nowait(self._done)
+                    break
+                except queue.Full:
+                    try:
+                        self.queue.get_nowait()
+                    except queue.Empty:
+                        pass
+
+    def close(self):
+        """Stop the producer and release its resources (inner generator + its
+        loader thread pool). Safe to call multiple times / after exhaustion;
+        called automatically when the consumer abandons iteration."""
+        self._stop.set()
+        while True:  # unblock a producer stuck in put
+            try:
+                self.queue.get_nowait()
+            except queue.Empty:
+                break
+        self.thread.join(timeout=10)
+        close_inner = getattr(self._iterator, "close", None)
+        if close_inner is not None and not self.thread.is_alive():
+            try:
+                close_inner()  # runs the generator's finally (pool shutdown)
+            except (ValueError, RuntimeError):
+                pass
 
     def __iter__(self):
-        while True:
-            item = self.queue.get()
-            if item is self._done:
-                if self._error is not None:
-                    raise self._error
-                return
-            yield item
+        try:
+            while True:
+                item = self.queue.get()
+                if item is self._done:
+                    if self._error is not None:
+                        raise self._error
+                    return
+                yield item
+        finally:
+            self.close()

@@ -119,6 +119,126 @@ class BERTScorer:
         return {"precision": p, "recall": r, "f1": f1}
 
 
+class RobertaBPETokenizer:
+    """RoBERTa tokenisation conventions over the in-tree byte-level BPE.
+
+    Loads an HF ``roberta-large``-style checkpoint dir (``vocab.json`` +
+    ``merges.txt``, or a ``tokenizer.json``) and reproduces what bert-score's
+    ``sent_encode`` does with the HF tokenizer (`tools/metrics/bertscore.py` uses
+    the bert-score package, whose roberta path is
+    ``tokenizer.encode(sent, add_special_tokens=True, truncation=True)``):
+    ``<s> + BPE(text) + </s>`` with content truncated to fit ``max_length``."""
+
+    def __init__(self, vocab: Dict[str, int], merges):
+        from cxrmate_tpu.tokenizer.bpe import ByteLevelBPETokenizer
+
+        specials = [t for t in ("<s>", "</s>", "<pad>", "<unk>", "<mask>") if t in vocab]
+        self._bpe = ByteLevelBPETokenizer(
+            vocab, merges, special_tokens=("<unk>",) if "<unk>" in vocab else (),
+            additional_special_tokens=[t for t in specials if t != "<unk>"],
+            unk_token="<unk>",
+        )
+        self.bos_token_id = vocab["<s>"]
+        self.eos_token_id = vocab["</s>"]
+        self.pad_token_id = vocab["<pad>"]
+
+    @classmethod
+    def from_dir(cls, path: str) -> "RobertaBPETokenizer":
+        import json
+        import os
+
+        vocab_json = os.path.join(path, "vocab.json")
+        if os.path.exists(vocab_json):
+            with open(vocab_json) as f:
+                vocab = json.load(f)
+            merges = []
+            with open(os.path.join(path, "merges.txt")) as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line or line.startswith("#version"):
+                        continue
+                    merges.append(tuple(line.split(" ", 1)))
+            return cls(vocab, merges)
+        tok_json = os.path.join(path, "tokenizer.json")
+        with open(tok_json) as f:
+            data = json.load(f)
+        model = data["model"]
+        merges = [tuple(m.split(" ", 1)) if isinstance(m, str) else tuple(m)
+                  for m in model["merges"]]
+        vocab = dict(model["vocab"])
+        for t in data.get("added_tokens", []):
+            vocab.setdefault(t["content"], t["id"])
+        return cls(vocab, merges)
+
+    def __call__(self, texts: Sequence[str], padding: str = "longest",
+                 truncation: bool = False, max_length: Optional[int] = None):
+        encoded = []
+        for t in texts:
+            ids = self._bpe.encode(t)
+            if truncation and max_length is not None:
+                ids = ids[: max_length - 2]
+            encoded.append([self.bos_token_id] + ids + [self.eos_token_id])
+        width = max((len(e) for e in encoded), default=0)
+        n = len(encoded)
+        input_ids = np.full((n, width), self.pad_token_id, np.int32)
+        attention_mask = np.zeros((n, width), np.int32)
+        for r, e in enumerate(encoded):
+            input_ids[r, : len(e)] = e
+            attention_mask[r, : len(e)] = 1
+        return {"input_ids": input_ids, "attention_mask": attention_mask}
+
+
+def convert_roberta(sd: Dict) -> Tuple[Dict, BertDecoderConfig]:
+    """Convert an HF RoBERTa encoder state dict (``roberta.*`` keys, e.g.
+    roberta-large as bert-score downloads it) into the in-tree BERT pytree; the
+    config is derived from the tensor shapes. RoBERTa differs from BERT only in
+    naming (remapped here) and the position scheme (``roberta_position_ids``)."""
+    from cxrmate_tpu.ckpt.hf_convert import convert_bert_decoder
+    from cxrmate_tpu.reward.cxrbert import _fake_lm_head
+
+    sd = {k.replace("roberta.", "bert.", 1): v for k, v in sd.items()}
+    word = sd["bert.embeddings.word_embeddings.weight"]
+    n_layers = 1 + max(
+        int(k.split(".")[3]) for k in sd if k.startswith("bert.encoder.layer.")
+    )
+    hidden = int(word.shape[1])
+    inter = int(sd["bert.encoder.layer.0.intermediate.dense.weight"].shape[0])
+    # head count is not recoverable from shapes; RoBERTa uses 64-dim heads
+    cfg = BertDecoderConfig(
+        vocab_size=int(word.shape[0]), hidden_size=hidden,
+        num_hidden_layers=n_layers, num_attention_heads=max(1, hidden // 64),
+        intermediate_size=inter,
+        max_position_embeddings=int(sd["bert.embeddings.position_embeddings.weight"].shape[0]),
+        type_vocab_size=int(sd["bert.embeddings.token_type_embeddings.weight"].shape[0]),
+        pad_token_id=1, add_cross_attention=False,
+    )
+    params = convert_bert_decoder({**sd, **_fake_lm_head(sd, cfg)}, cfg)
+    params.pop("lm_head", None)
+    return params, cfg
+
+
+def load_rescale_baseline(path: str, num_layers: int) -> Optional[Tuple[float, float, float]]:
+    """Parse a bert-score rescale-baseline file (CSV ``LAYER,P,R,F``, one row per
+    layer — the package's ``rescale_baseline/en/roberta-large.tsv``) and return
+    the (P, R, F) triple for ``num_layers``."""
+    import csv
+
+    with open(path) as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        cols = {c.strip().upper(): i for i, c in enumerate(header)}
+        for row in reader:
+            if not row:
+                continue
+            if int(float(row[cols.get("LAYER", 0)])) == num_layers:
+                return (
+                    float(row[cols.get("P", 1)]),
+                    float(row[cols.get("R", 2)]),
+                    float(row[cols.get("F", 3)]),
+                )
+    return None
+
+
 class BERTScoreMetric:
     """Accumulating metric mirroring tools/metrics/bertscore.py: dedup by id,
     per-item CSV dump, mean f1/precision/recall."""

@@ -72,10 +72,10 @@ def synthetic_dataset(tmp_path_factory):
 
 
 def _task(root, variant, max_epochs=1, mbatch_size=2, accumulated_mbatch_size=2, **kw):
+    kw.setdefault("exp_dir", str(root / "experiments"))
     return TaskConfig(
         max_epochs=max_epochs,
         variant=variant,
-        exp_dir=str(root / "experiments"),
         dataset_dir=str(root / "datasets"),
         ckpt_zoo_dir=str(root / "checkpoints"),
         mbatch_size=mbatch_size,
@@ -102,6 +102,89 @@ def test_fit_and_test_multi(synthetic_dataset):
     assert reports
     df = pd.read_csv(reports[-1])
     assert {"findings", "impression", "study_id"} <= set(df.columns)
+
+
+@pytest.fixture(scope="module")
+def roberta_zoo(synthetic_dataset):
+    """A tiny roberta-large-shaped checkpoint in the zoo (HF layout: roberta.*
+    state dict + vocab.json/merges.txt + bert-score rescale baseline tsv) so the
+    CLI test battery can build its BERTScore scorer offline."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from tokenizers.implementations import ByteLevelBPETokenizer as HFByteBPE
+
+    root = synthetic_dataset
+    path = root / "checkpoints" / "roberta-large"
+    path.mkdir(parents=True, exist_ok=True)
+    hf_tok = HFByteBPE()
+    hf_tok.train_from_iterator(
+        FINDINGS + IMPRESSION, vocab_size=400, min_frequency=1,
+        special_tokens=["<s>", "<pad>", "</s>", "<unk>", "<mask>"],
+    )
+    hf_tok.save_model(str(path))
+    torch.manual_seed(5)
+    cfg = transformers.RobertaConfig(
+        vocab_size=hf_tok.get_vocab_size(), hidden_size=32, num_hidden_layers=3,
+        num_attention_heads=2, intermediate_size=64, max_position_embeddings=66,
+        type_vocab_size=1, pad_token_id=1,
+    )
+    cfg._attn_implementation = "eager"
+    model = transformers.RobertaModel(cfg, add_pooling_layer=False).eval()
+    sd = {f"roberta.{k}": v for k, v in model.state_dict().items()}
+    torch.save(sd, path / "pytorch_model.bin")
+    # bert-score baseline format: CSV LAYER,P,R,F (one row per layer)
+    with open(path / "roberta-large.tsv", "w") as f:
+        f.write("LAYER,P,R,F\n")
+        for layer in range(cfg.num_hidden_layers + 1):
+            f.write(f"{layer},0.05,0.05,0.05\n")
+    return path, model, cfg
+
+
+def test_build_bertscorer_and_test_battery(synthetic_dataset, roberta_zoo):
+    """VERDICT r2 item 1: the CLI test stage computes BERTScore. The builder
+    loads the zoo roberta checkpoint (+rescale baseline), its converted encoder
+    matches the torch model's hidden states, and a --test run emits
+    test_report_bertscore_f1 + the per-item CSV (reference registration:
+    modules/lightning_modules/single.py:157-169)."""
+    import jax
+
+    torch = pytest.importorskip("torch")
+    from cxrmate_tpu.cli.stages import build_bertscorer
+
+    root = synthetic_dataset
+    task = _task(root, "multi", trial=11)
+    scorer = build_bertscorer(task)
+    assert scorer.baseline == (0.05, 0.05, 0.05)
+    assert scorer.num_layers == 3  # min(17, tiny depth)
+
+    # converter + roberta position scheme parity vs the torch model
+    _, model, _ = roberta_zoo
+    texts = ["the heart is normal", "small left pleural effusion"]
+    tok = scorer.tokenizer(texts)
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.from_numpy(tok["input_ids"]).long(),
+            attention_mask=torch.from_numpy(tok["attention_mask"]).long(),
+            output_hidden_states=True,
+        )
+    with jax.default_matmul_precision("highest"):
+        hidden, _ = scorer._embed(texts)
+    # torch-cpu runs oneDNN fast-math; element tolerance is what the other
+    # hidden-state parity tests use at this depth
+    np.testing.assert_allclose(
+        np.asarray(hidden), out.hidden_states[scorer.num_layers].numpy(),
+        rtol=5e-3, atol=1e-3,
+    )
+
+    # and the full test stage reports + dumps the metric
+    fit(task)
+    scores = run_test_stage(task, bertscorer=scorer)
+    assert "test_report_bertscore_f1" in scores
+    assert "test_report_bertscore_precision" in scores
+    csvs = glob.glob(os.path.join(task.exp_dir_trial, "bertscore", "*.csv"))
+    assert csvs, "no per-item bertscore CSV written"
+    df = pd.read_csv(csvs[-1])
+    assert {"f1", "precision", "recall", "study_id"} <= set(df.columns)
 
 
 def test_fit_gt_prompt_longitudinal(synthetic_dataset):
@@ -448,6 +531,113 @@ def test_fit_resume_last(synthetic_dataset):
     assert orbax_io.last_checkpoint_epoch(task2.exp_dir_trial) == 1
 
 
+class _InterruptAfterMidEpochSave:
+    """Wrap orbax_io.save_checkpoint to simulate a crash right after the first
+    mid-epoch (step-tagged) save completes."""
+
+    def __init__(self, real):
+        self.real = real
+        self.tripped = False
+
+    def __call__(self, *args, **kw):
+        out = self.real(*args, **kw)
+        if kw.get("step") is not None and not self.tripped:
+            self.tripped = True
+            raise KeyboardInterrupt("simulated crash after mid-epoch checkpoint")
+        return out
+
+
+def _state_leaves(path):
+    from cxrmate_tpu.ckpt import orbax_io
+
+    import jax
+
+    state = orbax_io.restore_checkpoint(path, None)
+    return jax.tree_util.tree_leaves_with_path(state)
+
+
+def _assert_ckpt_equal(a_path, b_path):
+    import jax
+
+    a, b = _state_leaves(a_path), _state_leaves(b_path)
+    assert len(a) == len(b)
+    for (ka, va), (kb, vb) in zip(a, b):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=jax.tree_util.keystr(ka))
+
+
+def test_fit_mid_epoch_resume_equals_uninterrupted(mesh_dataset, monkeypatch):
+    """ADVICE r2 (medium): resuming a mid-epoch checkpoint must train the
+    untrained remainder of that epoch — the final state equals an uninterrupted
+    run bit-for-bit (loader fast-forward + fold_in step keys + restored opt)."""
+    from cxrmate_tpu.ckpt import orbax_io
+    from cxrmate_tpu.cli import stages
+
+    root = mesh_dataset
+    common = dict(mbatch_size=4, fast_dev_run=False, val_check_interval=0.5,
+                  max_epochs=1)
+    gold = _mesh_task(root, "exp_resume_gold", **common)
+    fit(gold)
+
+    crash = _mesh_task(root, "exp_resume_crash", **common)
+    wrapper = _InterruptAfterMidEpochSave(orbax_io.save_checkpoint)
+    monkeypatch.setattr(stages.orbax_io, "save_checkpoint", wrapper)
+    with pytest.raises(KeyboardInterrupt):
+        fit(crash)
+    monkeypatch.setattr(stages.orbax_io, "save_checkpoint", wrapper.real)
+    # the crash left a step-tagged last checkpoint mid-epoch
+    info = orbax_io.checkpoint_resume_info(orbax_io.last_checkpoint(crash.exp_dir_trial))
+    assert info["step"] is not None and info["n_batches"] == 2
+
+    resumed = _mesh_task(root, "exp_resume_crash", resume_last=True, **common)
+    fit(resumed)
+    _assert_ckpt_equal(
+        orbax_io.last_checkpoint(gold.exp_dir_trial),
+        orbax_io.last_checkpoint(resumed.exp_dir_trial),
+    )
+
+
+def test_fit_scst_mid_epoch_resume_equals_uninterrupted(synthetic_dataset, monkeypatch):
+    """VERDICT r2 item 2: fit_scst resumes. Kill an SCST gen-prompt fit right
+    after its mid-epoch checkpoint; the resumed run reconstructs the epoch's
+    lane allocation + generated-prompt history and its final checkpoint equals
+    an uninterrupted run's bit-for-bit."""
+    from cxrmate_tpu.ckpt import orbax_io
+    from cxrmate_tpu.cli import stages
+    from cxrmate_tpu.cli.stages import fit_scst
+
+    root = synthetic_dataset
+
+    def reward_fn(preds, labels):
+        return np.asarray([min(len(p), 20) / 20.0 for p in preds], np.float32)
+
+    common = dict(max_epochs=1, mbatch_size=1, accumulated_mbatch_size=1,
+                  val_check_interval=0.5)
+    gold = _task(root, "scst", trial=12, exp_dir=str(root / "exp_scst_gold"), **common)
+    fit_scst(gold, reward_fn)
+
+    crash = _task(root, "scst", trial=12, exp_dir=str(root / "exp_scst_crash"), **common)
+    wrapper = _InterruptAfterMidEpochSave(orbax_io.save_checkpoint)
+    monkeypatch.setattr(stages.orbax_io, "save_checkpoint", wrapper)
+    with pytest.raises(KeyboardInterrupt):
+        fit_scst(crash, reward_fn)
+    monkeypatch.setattr(stages.orbax_io, "save_checkpoint", wrapper.real)
+    last = orbax_io.last_checkpoint(crash.exp_dir_trial)
+    info = orbax_io.checkpoint_resume_info(last)
+    assert info["step"] is not None
+    # the sidecar history snapshot exists for gen-prompt SCST
+    assert orbax_io.checkpoint_extra_file(last, "scst_history.json") is not None
+
+    resumed = _task(root, "scst", trial=12, exp_dir=str(root / "exp_scst_crash"),
+                    resume_last=True, **common)
+    fit_scst(resumed, reward_fn)
+    _assert_ckpt_equal(
+        orbax_io.last_checkpoint(gold.exp_dir_trial),
+        orbax_io.last_checkpoint(resumed.exp_dir_trial),
+    )
+
+
 def test_reproduce_test_set_script(synthetic_dataset, tmp_path):
     """scripts/reproduce_test_set.py end-to-end at tiny shapes: one run freezes
     a 'reference' generated_reports CSV; a second run through the script diffs
@@ -557,3 +747,17 @@ def test_make_mesh_rejects_empty_mesh():
 
     with pytest.raises(AssertionError, match="empty"):
         make_mesh(None, 4, devices=np.empty((1,), object))
+
+
+def test_mesh_rejects_multihost(monkeypatch, tmp_path):
+    """mesh_data + multi-process would shard the batch twice (rank-strided
+    loader AND mesh data axis) — mesh_from_task must refuse
+    (docs/ARCHITECTURE.md 'Multi-host × mesh')."""
+    import jax
+
+    from cxrmate_tpu.cli.stages import mesh_from_task
+
+    task = TaskConfig(mesh_data=2, exp_dir=str(tmp_path))
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(AssertionError, match="single-process"):
+        mesh_from_task(task)
