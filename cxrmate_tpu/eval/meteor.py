@@ -48,13 +48,15 @@ most few little less least
 """.split())
 
 
-def _word_weight(w: str) -> float:
-    return (1.0 - DELTA) if w in FUNCTION_WORDS else DELTA
+def _word_weight(w: str, delta: float = DELTA) -> float:
+    return (1.0 - delta) if w in FUNCTION_WORDS else delta
 
 
-def _candidate_matches(hyp: List[str], ref: List[str], synonyms) -> List[List[Tuple[int, float]]]:
+def _candidate_matches(hyp: List[str], ref: List[str], synonyms,
+                       weights: Tuple[float, float, float]) -> List[List[Tuple[int, float]]]:
     """For each hyp index, the (ref index, module weight) candidates, using the
     highest-priority module that matches each (i, j) pair."""
+    w_exact, w_stem, w_syn = weights
     hyp_stems = [stem(w) for w in hyp]
     ref_stems = [stem(w) for w in ref]
     cands: List[List[Tuple[int, float]]] = []
@@ -62,20 +64,22 @@ def _candidate_matches(hyp: List[str], ref: List[str], synonyms) -> List[List[Tu
         row = []
         for j, r in enumerate(ref):
             if h == r:
-                row.append((j, WEIGHT_EXACT))
+                row.append((j, w_exact))
             elif hyp_stems[i] == ref_stems[j]:
-                row.append((j, WEIGHT_STEM))
+                row.append((j, w_stem))
             elif synonyms is not None and synonyms(h, r):
-                row.append((j, WEIGHT_SYN))
+                row.append((j, w_syn))
         cands.append(row)
     return cands
 
 
-def _align(hyp: List[str], ref: List[str], synonyms) -> List[Tuple[int, int, float]]:
+def _align(hyp: List[str], ref: List[str], synonyms,
+           weights: Tuple[float, float, float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
+           ) -> List[Tuple[int, int, float]]:
     """One-to-one alignment via beam search: max matches, then min chunks, then
     min total |i−j| (the jar's Aligner resolution order). Returns
     [(hyp_idx, ref_idx, module_weight)] sorted by hyp index."""
-    cands = _candidate_matches(hyp, ref, synonyms)
+    cands = _candidate_matches(hyp, ref, synonyms, weights)
     # beam state: (matches, last_j or None, chunks, dist, used_ref_frozenset, align_list)
     states = [(0, None, 0, 0, frozenset(), ())]
     for i, row in enumerate(cands):
@@ -119,34 +123,36 @@ class SegmentStats:
         self.chunks += other.chunks
         self.matches += other.matches
 
-    def score(self) -> float:
+    def score(self, alpha: float = ALPHA, beta: float = BETA, gamma: float = GAMMA) -> float:
         if self.wm_hyp == 0.0 or self.wm_ref == 0.0:
             return 0.0
         p = self.wm_hyp / self.w_hyp
         r = self.wm_ref / self.w_ref
-        f = (p * r) / (ALPHA * p + (1.0 - ALPHA) * r)
+        f = (p * r) / (alpha * p + (1.0 - alpha) * r)
         # fully-contiguous alignments take no penalty (single chunk covering
         # everything ⇒ ch/m minimal); the jar uses frag = ch/m directly
         frag = self.chunks / self.matches if self.matches else 0.0
-        return (1.0 - GAMMA * (frag ** BETA)) * f
+        return (1.0 - gamma * (frag ** beta)) * f
 
 
-def _segment_stats(hyp: List[str], ref: List[str], synonyms) -> SegmentStats:
+def _segment_stats(hyp: List[str], ref: List[str], synonyms, delta: float = DELTA,
+                   weights: Tuple[float, float, float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
+                   ) -> SegmentStats:
     if not hyp or not ref:
         return SegmentStats(
-            w_hyp=sum(_word_weight(w) for w in hyp),
-            w_ref=sum(_word_weight(w) for w in ref),
+            w_hyp=sum(_word_weight(w, delta) for w in hyp),
+            w_ref=sum(_word_weight(w, delta) for w in ref),
         )
-    align = _align(hyp, ref, synonyms)
+    align = _align(hyp, ref, synonyms, weights)
     st = SegmentStats(
-        w_hyp=sum(_word_weight(w) for w in hyp),
-        w_ref=sum(_word_weight(w) for w in ref),
+        w_hyp=sum(_word_weight(w, delta) for w in hyp),
+        w_ref=sum(_word_weight(w, delta) for w in ref),
     )
     st.matches = float(len(align))
     last = None
     for i, j, w in align:
-        st.wm_hyp += w * _word_weight(hyp[i])
-        st.wm_ref += w * _word_weight(ref[j])
+        st.wm_hyp += w * _word_weight(hyp[i], delta)
+        st.wm_ref += w * _word_weight(ref[j], delta)
         if last is None or j != last[1] + 1 or i != last[0] + 1:
             st.chunks += 1
         last = (i, j)
@@ -157,24 +163,33 @@ def _segment_stats(hyp: List[str], ref: List[str], synonyms) -> SegmentStats:
 
 
 def meteor(
-    gts: Dict, res: Dict, synonyms: Optional[Callable[[str, str], bool]] = None
+    gts: Dict, res: Dict, synonyms: Optional[Callable[[str, str], bool]] = None,
+    *,
+    alpha: float = ALPHA, beta: float = BETA, gamma: float = GAMMA, delta: float = DELTA,
+    weights: Tuple[float, float, float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
 ) -> Tuple[float, List[float]]:
     """pycocoevalcap-style interface: gts/res are {id: [tokenised string, ...]};
     returns (corpus score from summed stats, per-item scores). Inputs are expected
     PTB-tokenised + lowercased (the reference pipeline applies PTBTokenizer first;
-    the jar's -norm flag additionally lowercases, reproduced here)."""
+    the jar's -norm flag additionally lowercases, reproduced here).
+
+    The keyword parameters default to METEOR-1.5 English; alternative settings
+    reproduce other members of the family — ``alpha=0.9, beta=3.0, gamma=0.5,
+    delta=0.5, weights=(1, 1, 1)`` is METEOR-original (Lavie & Agarwal 2007, what
+    nltk implements; δ=0.5 makes word weighting uniform), used by the
+    cross-validation test against nltk (tests/test_meteor.py)."""
     agg = SegmentStats()
     per_item: List[float] = []
     for key in gts:
         hyp = res[key][0].lower().split()
         best: Optional[SegmentStats] = None
         for ref_s in gts[key]:
-            st = _segment_stats(hyp, ref_s.lower().split(), synonyms)
-            if best is None or st.score() > best.score():
+            st = _segment_stats(hyp, ref_s.lower().split(), synonyms, delta, weights)
+            if best is None or st.score(alpha, beta, gamma) > best.score(alpha, beta, gamma):
                 best = st
-        per_item.append(best.score())
+        per_item.append(best.score(alpha, beta, gamma))
         agg.add(best)
-    return agg.score(), per_item
+    return agg.score(alpha, beta, gamma), per_item
 
 
 def wordnet_synonyms() -> Optional[Callable[[str, str], bool]]:

@@ -135,3 +135,171 @@ def test_meteor_synonym_adapter():
     _, without = meteor({1: ["normal heart"]}, {1: ["unremarkable heart"]})
     _, with_syn = meteor({1: ["normal heart"]}, {1: ["unremarkable heart"]}, synonyms=syn)
     assert with_syn[0] > without[0]
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation vs nltk's METEOR (VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+# nltk implements METEOR-original (Lavie & Agarwal 2007): α=0.9 β=3 γ=0.5, no
+# function-word weighting, unit module weights, greedy stage-sequential
+# alignment. Our scorer is parameterised, so running it at those settings
+# isolates the shared machinery (matching modules + chunk counting + scoring
+# formula) from the 1.5-specific parts (weights, δ, aggregate corpus stats).
+# Both sides are given the SAME stemmer (our Snowball) and the SAME synonym
+# table so module differences cannot mask alignment/scoring bugs. nltk's stem
+# stage rewrites unmatched words to their stems before its wordnet stage, so
+# the shared synonymy is keyed by stem on both sides.
+#
+# Residual deltas are real aligner differences, not bugs: nltk's exact stage
+# matches each hypothesis word to the LATEST still-unused reference position
+# (reverse scan), which fragments chunks whenever a word repeats — e.g.
+# ref 'normal or are seen or atelectasis' / hyp 'normal or are seen
+# atelectasis': nltk pairs hyp 'or' with the SECOND ref 'or' (4 chunks),
+# the jar-style beam aligner here picks the contiguous alignment (2 chunks).
+# The METEOR-1.5 jar resolves ties by max-matches → min-chunks → min-distance,
+# which is what we implement; on a 200-pair radiology-like corpus the mean
+# |Δ| vs nltk is ~0.014 and every large outlier traces to that tie-break.
+
+_SYN_GROUPS = [
+    {"normal", "unremarkable"}, {"effusion", "fluid"},
+    {"cardiomegaly", "enlargement"}, {"opacity", "infiltrate"},
+    {"stable", "unchanged"}, {"pneumothorax", "collapse"},
+    {"clear", "unobstructed"},
+]
+
+
+def _shared_synonymy():
+    by_stem = {}
+    for g in _SYN_GROUPS:
+        sg = {stem(w) for w in g}
+        for s in sg:
+            by_stem.setdefault(s, set()).update(sg)
+    return by_stem
+
+
+class _FakeLemma:
+    def __init__(self, n):
+        self._n = n
+
+    def name(self):
+        return self._n
+
+
+class _FakeSynset:
+    def __init__(self, names):
+        self._lemmas = [_FakeLemma(n) for n in names]
+
+    def lemmas(self):
+        return self._lemmas
+
+
+class _FakeWordnet:
+    """Just enough of nltk.corpus.wordnet for _enum_wordnetsyn_match."""
+
+    def __init__(self, by_stem):
+        self._by_stem = by_stem
+
+    def synsets(self, w):
+        return [_FakeSynset(sorted(self._by_stem[w]))] if w in self._by_stem else []
+
+
+_VOCAB = (
+    "the heart size is normal and lungs are clear no acute cardiopulmonary process "
+    "small left pleural effusion stable cardiomegaly with focal consolidation seen "
+    "right lower lobe opacity may reflect atelectasis or pneumonia interval improvement "
+    "in pulmonary edema mediastinal contours unremarkable degenerative changes of spine "
+    "there has been worsening bibasilar airspace disease since prior exam"
+).split()
+
+
+def _report_corpus(n_pairs=200, seed=42):
+    import random
+
+    by_word = {}
+    for g in _SYN_GROUPS:
+        for w in g:
+            by_word.setdefault(w, set()).update(g)
+    rng = random.Random(seed)
+    pairs = []
+    for _ in range(n_pairs):
+        n = rng.randint(6, 22)
+        ref = [rng.choice(_VOCAB) for _ in range(n)]
+        hyp = list(ref)
+        for i, w in enumerate(hyp):
+            if w in by_word and rng.random() < 0.4:
+                hyp[i] = rng.choice(sorted(by_word[w] - {w}))
+            elif rng.random() < 0.15:
+                hyp[i] = rng.choice(_VOCAB)
+        if rng.random() < 0.5 and len(hyp) > 3:
+            del hyp[rng.randrange(len(hyp))]
+        if rng.random() < 0.5:
+            hyp.insert(rng.randrange(len(hyp) + 1), rng.choice(_VOCAB))
+        if rng.random() < 0.3 and len(hyp) > 4:
+            i = rng.randrange(len(hyp) - 2)
+            hyp[i], hyp[i + 1] = hyp[i + 1], hyp[i]
+        pairs.append((" ".join(ref), " ".join(hyp)))
+    return pairs
+
+
+def test_meteor_bounded_against_nltk_with_synonyms():
+    import statistics
+    import types
+
+    nltk_meteor = pytest.importorskip("nltk.translate.meteor_score")
+
+    by_stem = _shared_synonymy()
+    fw = _FakeWordnet(by_stem)
+
+    def syn_fn(a, b):
+        return stem(b) in by_stem.get(stem(a), ())
+
+    pairs = _report_corpus()
+    gts = {i: [r] for i, (r, h) in enumerate(pairs)}
+    res = {i: [h] for i, (r, h) in enumerate(pairs)}
+    corpus, per = meteor(
+        gts, res, synonyms=syn_fn,
+        alpha=0.9, beta=3.0, gamma=0.5, delta=0.5, weights=(1.0, 1.0, 1.0),
+    )
+    stemmer = types.SimpleNamespace(stem=stem)
+    nl = [
+        nltk_meteor.single_meteor_score(r.split(), h.split(), stemmer=stemmer, wordnet=fw)
+        for r, h in pairs
+    ]
+    deltas = [abs(a - b) for a, b in zip(per, nl)]
+    # measured on this corpus: mean ~0.0144, max ~0.19 (all alignment tie-breaks)
+    assert statistics.mean(deltas) < 0.02
+    assert max(deltas) < 0.25
+    assert abs(statistics.mean(per) - statistics.mean(nl)) < 0.02
+    # where alignments agree the scores agree exactly
+    assert sum(1 for d in deltas if d < 1e-12) > len(pairs) // 2
+    # our aligner never scores below nltk's greedy one by more than a chunk-tie:
+    # it maximises matches first, so big negative deltas would be a bug
+    assert min(a - b for a, b in zip(per, nl)) > -0.08
+    # the 1.5-style aggregate corpus score stays near the per-segment mean
+    assert abs(corpus - statistics.mean(per)) < 0.05
+
+
+def test_meteor_identical_without_repeats_or_synonyms():
+    """With no repeated words and no synonym stage, both aligners must find the
+    identical unique alignment — scores equal to float precision."""
+    import types
+
+    nltk_meteor = pytest.importorskip("nltk.translate.meteor_score")
+
+    pairs = [
+        ("the heart is normal", "the heart appears normal"),
+        ("small left pleural effusion", "left pleural effusion is small"),
+        ("no acute cardiopulmonary process", "no acute disease"),
+        ("stable cardiomegaly with edema", "cardiomegaly stable without edema"),
+    ]
+    gts = {i: [r] for i, (r, h) in enumerate(pairs)}
+    res = {i: [h] for i, (r, h) in enumerate(pairs)}
+    _, per = meteor(gts, res, alpha=0.9, beta=3.0, gamma=0.5, delta=0.5,
+                    weights=(1.0, 1.0, 1.0))
+    stemmer = types.SimpleNamespace(stem=stem)
+    fw = _FakeWordnet({})
+    for (r, h), ours in zip(pairs, per):
+        theirs = nltk_meteor.single_meteor_score(
+            r.split(), h.split(), stemmer=stemmer, wordnet=fw
+        )
+        assert ours == pytest.approx(theirs, abs=1e-12), (r, h)
