@@ -11,7 +11,12 @@ decode modes are measured:
     its throughput batch, with the cross-KV cache shared across beams and the
     per-step cache write folded into the beam-reorder matmul (generate/beam.py).
     The reference's own test batch (mbatch_size 8) is also reported as
-    ``beam4_ref_batch_studies_per_sec``.
+    ``beam4_ref_batch_studies_per_sec``;
+  * longitudinal prompted beam-4 — the FLAGSHIP configuration (the released
+    aehrc/cxrmate checkpoint's test path): LoRA q/k decoder, previous-report
+    prompt prefill at bucketed widths 64/128/256, mask-token attention, beam-4.
+    Reported as ``longitudinal_beam4_studies_per_sec`` (equal-weight mean over
+    the width buckets; per-bucket numbers in ``config``).
 
 Prints ONE JSON line:
   {"metric": "studies/sec/chip (encode + 256-token greedy decode)",
@@ -36,6 +41,10 @@ BEAM_BATCH = 24       # beam-4 throughput batch: 24 studies × 4 beams = 96 rows
                       # the same row count as the greedy sweet spot (sweep in DEVNOTES.md)
 BEAM_REF_BATCH = 8    # the reference's test mbatch_size (single_tf.yaml:16)
 NUM_BEAMS = 4
+# flagship longitudinal decode: prompt-prefill width buckets (the CLI test stage
+# buckets prompts to multiples of 32 up to decoder_max_len=256; these sample the
+# short/typical/maximal cases)
+LONGITUDINAL_PROMPT_BUCKETS = (64, 128, 256)
 N_IMAGES = 2
 DECODE_TOKENS = 255  # + BOS = 256 total, matching decoder_max_len
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
@@ -50,7 +59,7 @@ def build(config, dtype=None, rng_seed=0):
     from cxrmate_tpu.utils.precision import cast_floats
 
     enc = init_cvt_variables(jax.random.PRNGKey(0), config.encoder)
-    dec = bert_mod.init_bert_params(jax.random.PRNGKey(1), config.decoder)
+    dec = bert_mod.init_bert_params(jax.random.PRNGKey(1), config.decoder, lora=config.lora)
     variables = cast_floats(
         {"params": {"encoder": enc["params"], "decoder": dec}, "batch_stats": enc["batch_stats"]},
         dtype or jnp.bfloat16,
@@ -115,23 +124,72 @@ def make_beam_pipeline(config, decode_tokens, num_beams=NUM_BEAMS):
     return pipeline
 
 
+def make_longitudinal_beam_pipeline(config, decode_tokens, prompt_width,
+                                    num_beams=NUM_BEAMS):
+    """The FLAGSHIP decode configuration (the released ``aehrc/cxrmate``
+    checkpoint's test path): longitudinal variant — LoRA q/k decoder, prompt
+    prefill of the previous study's report ([PMT]-section token types, mask-token
+    attention, cumsum positions), beam-4 (reference
+    `config/test_huggingface/longitudinal_gen_prompt_cxr-bert.yaml`,
+    `gt_prompt.py:270-288`). ``prompt_width`` is the bucketed prompt length
+    (models/encoder_decoder.py:bucket_prompt); the first-token logits column is
+    pinned to it like the CLI test stage does."""
+    import jax
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.generate import GenerationConfig
+    from cxrmate_tpu.generate.beam import beam_search
+    from cxrmate_tpu.models import encoder_decoder as ed
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=decode_tokens,
+        bos_token_id=1, eos_token_id=2, pad_token_id=4, mask_token_id=4,
+        special_token_ids=(5, 1, 3), token_type_sections=(0, 1, 0, 1),
+        num_beams=num_beams,
+    )
+
+    @jax.jit
+    def pipeline(variables, pixels, prompt_ids, prompt_mask):
+        enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
+        seqs, _ = beam_search(
+            variables, config, gen_cfg, enc_hidden, enc_mask, prompt_ids, prompt_mask,
+            prompt_logits_col=prompt_width - 1,
+        )
+        return seqs
+
+    return pipeline
+
+
 def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=None,
-        beam=False):
+        beam=False, longitudinal_prompt_width=None):
     import jax
 
     if platform:
         jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
 
-    from cxrmate_tpu.configs import multi_tf_config
+    from cxrmate_tpu.configs import longitudinal_config, multi_tf_config
 
-    config = multi_tf_config(vocab_size=30000)
+    if longitudinal_prompt_width is not None:
+        config = longitudinal_config(vocab_size=30000)
+    else:
+        config = multi_tf_config(vocab_size=30000)
     dtype = dtype or jnp.bfloat16
     variables = build(config, dtype=dtype)
     pixels = jnp.asarray(
         np.random.RandomState(0).randn(batch, N_IMAGES, 3, 384, 384), dtype
     )
-    if beam:
+    prompt_args = ()
+    if longitudinal_prompt_width is not None:
+        w = longitudinal_prompt_width
+        rs = np.random.RandomState(2)
+        ids = np.concatenate(
+            [np.full((batch, 1), 1, np.int32),  # BOS (tokenize_prompt forces it)
+             rs.randint(6, 30000, size=(batch, w - 1)).astype(np.int32)], axis=1
+        )
+        prompt_args = (jnp.asarray(ids), jnp.ones((batch, w), jnp.int32))
+        pipeline = make_longitudinal_beam_pipeline(config, decode_tokens, w)
+    elif beam:
         pipeline = make_beam_pipeline(config, decode_tokens)
     else:
         pipeline = make_pipeline(config, variables, batch, decode_tokens)
@@ -140,7 +198,7 @@ def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=
     # only reliable fence. Dispatch is async, so queueing `iters` executions and
     # fencing the last amortises the host↔device round-trip (~30 ms) across the
     # batch of iterations (single stream, executed back-to-back on device).
-    np.asarray(pipeline(variables, pixels))  # compile + warm
+    np.asarray(pipeline(variables, pixels, *prompt_args))  # compile + warm
     profile_dir = os.environ.get("CXRMATE_BENCH_PROFILE_DIR")
     if profile_dir:
         from cxrmate_tpu.utils.tracing import profile as profile_ctx
@@ -150,7 +208,7 @@ def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=
         profile_ctx = lambda _d: contextlib.nullcontext()  # noqa: E731
     t0 = time.perf_counter()
     with profile_ctx(profile_dir):
-        outs = [pipeline(variables, pixels) for _ in range(iters)]
+        outs = [pipeline(variables, pixels, *prompt_args) for _ in range(iters)]
         np.asarray(outs[-1])
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt
@@ -203,6 +261,7 @@ def main():
         f"reports; batch latency {dt * 1e3:.1f} ms ({p50 * 1e3:.2f} ms/study)",
         file=sys.stderr,
     )
+    errors = []
     beam_sps = beam_ref_sps = None
     if os.environ.get("CXRMATE_BENCH_SKIP_BEAM", "0") != "1":
         for name, bb in (("beam", BEAM_BATCH), ("beam_ref", BEAM_REF_BATCH)):
@@ -217,19 +276,48 @@ def main():
                     beam_sps = sps_b
                 else:
                     beam_ref_sps = sps_b
-            except Exception as e:  # noqa: BLE001 - beam section is additive
+            except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
                 print(f"{name} bench failed: {e}", file=sys.stderr)
+                errors.append(f"{name}: {type(e).__name__}: {e}")
+    # flagship config: longitudinal prompted beam-4 over bucketed prompt widths
+    long_by_width = {}
+    long_sps = None
+    if os.environ.get("CXRMATE_BENCH_SKIP_LONGITUDINAL", "0") != "1":
+        for w in LONGITUDINAL_PROMPT_BUCKETS:
+            try:
+                sps_l, dt_l = run(batch=BEAM_BATCH, beam=True, iters=2,
+                                  longitudinal_prompt_width=w)
+                long_by_width[str(w)] = round(sps_l, 3)
+                print(
+                    f"longitudinal beam-{NUM_BEAMS}: prompt {w} tok, batch={BEAM_BATCH}; "
+                    f"batch latency {dt_l * 1e3:.1f} ms "
+                    f"({dt_l / BEAM_BATCH * 1e3:.2f} ms/study incl. prefill)",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
+                print(f"longitudinal[{w}] bench failed: {e}", file=sys.stderr)
+                errors.append(f"longitudinal[{w}]: {type(e).__name__}: {e}")
+        if long_by_width:
+            # headline: equal-weight mean over the width buckets (the MIMIC prompt
+            # distribution is unavailable offline; per-bucket numbers are in config)
+            vals = list(long_by_width.values())
+            long_sps = sum(vals) / len(vals)
     print(
         json.dumps(
             {
                 "metric": "studies/sec/chip (encode + 256-token greedy decode)",
                 "value": round(sps, 3),
                 "unit": "studies/sec",
-                "vs_baseline": round(vs, 2) if vs else None,
+                "vs_baseline": round(vs, 2) if vs is not None else None,
                 "p50_study_latency_ms": round(p50 * 1e3, 3),
-                "beam4_studies_per_sec": round(beam_sps, 3) if beam_sps else None,
+                "beam4_studies_per_sec": (
+                    round(beam_sps, 3) if beam_sps is not None else None
+                ),
                 "beam4_ref_batch_studies_per_sec": (
-                    round(beam_ref_sps, 3) if beam_ref_sps else None
+                    round(beam_ref_sps, 3) if beam_ref_sps is not None else None
+                ),
+                "longitudinal_beam4_studies_per_sec": (
+                    round(long_sps, 3) if long_sps is not None else None
                 ),
                 "config": {
                     "greedy_batch": BATCH,
@@ -238,10 +326,15 @@ def main():
                     "num_beams": NUM_BEAMS,
                     "images_per_study": N_IMAGES,
                     "report_tokens": DECODE_TOKENS + 1,
+                    "longitudinal_prompt_buckets": LONGITUDINAL_PROMPT_BUCKETS,
+                    "longitudinal_beam4_by_prompt_width": long_by_width or None,
                 },
+                **({"errors": errors} if errors else {}),
             }
         )
     )
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
