@@ -34,7 +34,7 @@ def _gather_beams(tensor, beam_indices):
     return jnp.take_along_axis(tensor, idx.astype(jnp.int32), axis=1)
 
 
-@partial(jax.jit, static_argnames=("config", "gen_cfg", "prompt_logits_col"))
+@partial(jax.jit, static_argnames=("config", "gen_cfg", "prompt_logits_col", "write_mode"))
 def beam_search(
     variables,
     config: EncoderDecoderConfig,
@@ -44,11 +44,30 @@ def beam_search(
     prompt_ids: jnp.ndarray,
     prompt_mask: jnp.ndarray,
     prompt_logits_col: Optional[int] = None,
+    write_mode: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam-search decode → (sequences [B, P + max_new], scores [B]).
 
     Sequences are the best finished hypothesis per batch item (HF
-    ``num_return_sequences=1``), pad-filled to the static width."""
+    ``num_return_sequences=1``), pad-filled to the static width.
+
+    ``write_mode`` selects how the per-step self-KV column lands in the cache —
+    both produce IDENTICAL values (same numbers, different data movement):
+      * 'fused' (default): ``bert_step(deferred_write=True)`` — attention reads a
+        virtual ``where(col==i, new, cache)``; the column is folded into the
+        beam-reorder one-hot dot.
+      * 'dus': ``bert_step`` writes the column with dynamic_update_slice before
+        attention, and the reorder dot runs without the fused write. With the
+        reorder as a dot (not the round-2 gather that forced a T-minor layout),
+        the DUS is tile-aligned — this skips the virtual-read select pass that
+        XLA materialises at ~full cache size per step.
+    Resolved from ``CXRMATE_BEAM_WRITE`` at trace time when None — pass
+    explicitly to override after a cached trace."""
+    if write_mode is None:
+        import os
+
+        write_mode = os.environ.get("CXRMATE_BEAM_WRITE", "fused")
+    assert write_mode in ("fused", "dus"), write_mode
     params = variables["params"]["decoder"]
     dcfg = config.decoder
     k = gen_cfg.num_beams
@@ -239,10 +258,20 @@ def beam_search(
         else:
             key_mask = upto.astype(jnp.int32) * jnp.ones((b * k, 1), jnp.int32)
             pos = jnp.zeros((b * k,), jnp.int32) + i
-        logits, pending = bert_mod.bert_step(
-            params, dcfg, cache, q_tok, ttype, pos, i, key_mask, enc_mask_flat,
-            lora=config.lora, deferred_write=True,
-        )
+        if write_mode == "dus":
+            # write-then-read: the column lands via dynamic_update_slice before
+            # attention (tile-aligned under the reorder dot's layout), attention
+            # reads the real cache — no virtual-read select to materialise
+            logits, cache = bert_mod.bert_step(
+                params, dcfg, cache, q_tok, ttype, pos, i, key_mask, enc_mask_flat,
+                lora=config.lora, deferred_write=False,
+            )
+            pending = None
+        else:
+            logits, pending = bert_mod.bert_step(
+                params, dcfg, cache, q_tok, ttype, pos, i, key_mask, enc_mask_flat,
+                lora=config.lora, deferred_write=True,
+            )
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         new_state, all_hit = select_and_update(
             lp, (seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur),

@@ -219,3 +219,31 @@ def test_deferred_write_matches_written_cache():
         np.testing.assert_array_equal(
             np.asarray(cache_w.self_v[i][:, :, 4, :]), np.asarray(pend_v[i])
         )
+
+
+def test_beam_write_modes_identical():
+    """write_mode='dus' (column written via dynamic_update_slice before
+    attention) and 'fused' (virtual read + write folded into the reorder dot)
+    move the same values differently — sequences AND scores must be identical
+    bit-for-bit (beam.py write_mode)."""
+    ref = build_reference_model("multi", vocab_size=97, seed=21)
+    cfg = _my_config("multi")
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(5)
+    pixels = rng.randn(3, 2, 3, 64, 64).astype(np.float32)
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pixels), cfg)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=13,
+        bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        special_token_ids=(SEP,), num_beams=4,
+    )
+    prompt = jnp.full((3, 1), BOS, jnp.int32)
+    outs = {}
+    for mode in ("fused", "dus"):
+        seqs, scores = beam_search(
+            variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt,
+            jnp.ones((3, 1), jnp.int32), write_mode=mode,
+        )
+        outs[mode] = (np.asarray(seqs), np.asarray(scores))
+    np.testing.assert_array_equal(outs["fused"][0], outs["dus"][0])
+    np.testing.assert_array_equal(outs["fused"][1], outs["dus"][1])
