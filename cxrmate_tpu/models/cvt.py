@@ -174,15 +174,24 @@ def _attention_block(p, stats, tokens, hw, config, s, train, rng,
     v = split_heads(linear(p["v"], v_tok), heads)
 
     if use_flash and not (train and config.attention_drop_rate[s] > 0.0):
-        from cxrmate_tpu.ops.flash_attention import flash_attention
+        from cxrmate_tpu.ops.flash_attention import flash_attention, flash_attention_grad
 
         bq, hq, lq, dh = q.shape
         lk = k.shape[2]
-        ctx = flash_attention(
-            q.reshape(bq * hq, lq, dh), k.reshape(bq * hq, lk, dh),
-            v.reshape(bq * hq, lk, dh), scale=dim ** -0.5,
-            interpret=flash_interpret,
-        ).reshape(bq, hq, lq, dh)
+        if train:
+            # differentiable variant: FlashAttention-2 backward via custom_vjp
+            # (recomputed score blocks; no materialised score matrix in either pass)
+            ctx = flash_attention_grad(
+                q.reshape(bq * hq, lq, dh), k.reshape(bq * hq, lk, dh),
+                v.reshape(bq * hq, lk, dh), dim ** -0.5,
+                512, 512, flash_interpret,
+            ).reshape(bq, hq, lq, dh)
+        else:
+            ctx = flash_attention(
+                q.reshape(bq * hq, lq, dh), k.reshape(bq * hq, lk, dh),
+                v.reshape(bq * hq, lk, dh), scale=dim ** -0.5,
+                interpret=flash_interpret,
+            ).reshape(bq, hq, lq, dh)
     else:
         ctx = attention(
             q, k, v, scale=dim ** -0.5,

@@ -45,24 +45,38 @@ def encode_images(
     train: bool = False,
     rng=None,
     remat: bool = False,
+    use_flash: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """Encode pixel values → (encoder_hidden [B, T_enc, P], encoder_mask [B, T_enc],
     new_batch_stats).
 
     single: T_enc = tokens_per_image, mask all ones.
     multi/longitudinal: images folded into the batch, projected, then concatenated
-    per study; mask derives from the all-zero-padding convention."""
+    per study; mask derives from the all-zero-padding convention.
+
+    ``use_flash`` (default: ``CXRMATE_FLASH_ENCODE=1``, read at trace time)
+    routes stage attention through the Pallas flash kernel — an accuracy-mode
+    knob: online softmax matches exact attention to reassociation tolerance
+    (tests/test_flash_attention.py), NOT bit-exactly, so parity runs keep the
+    XLA path (the default). Training composes with it through the FlashAttention
+    custom_vjp."""
+    if use_flash is None:
+        import os
+
+        use_flash = os.environ.get("CXRMATE_FLASH_ENCODE", "0") == "1"
     params, stats = variables["params"]["encoder"], variables["batch_stats"]
     if config.variant == "single":
         hidden, new_stats = cvt_encode(
-            params, stats, pixel_values, config.encoder, train=train, rng=rng, remat=remat
+            params, stats, pixel_values, config.encoder, train=train, rng=rng, remat=remat,
+            use_flash=use_flash,
         )
         mask = jnp.ones(hidden.shape[:2], dtype=jnp.int32)
         return hidden, mask, new_stats
     b, n = pixel_values.shape[:2]
     flat = pixel_values.reshape((b * n,) + pixel_values.shape[2:])
     hidden, new_stats = cvt_encode(
-        params, stats, flat, config.encoder, train=train, rng=rng, remat=remat
+        params, stats, flat, config.encoder, train=train, rng=rng, remat=remat,
+        use_flash=use_flash,
     )
     tokens_per = hidden.shape[1]
     hidden = hidden.reshape(b, n * tokens_per, hidden.shape[-1])

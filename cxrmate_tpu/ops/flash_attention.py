@@ -94,3 +94,213 @@ def flash_attention(
     if pad_q:
         out = out[:, :lq, :]
     return out
+
+
+# --------------------------------------------------------------------------
+# Differentiable flash attention (custom_vjp): forward additionally saves the
+# log-sum-exp rows; backward recomputes score blocks (never materialising the
+# full matrix) in two Pallas passes — dq over query blocks, dk/dv over key
+# blocks. The standard FlashAttention-2 backward:
+#   delta = rowsum(dO * O);  P = exp(S - lse)
+#   dV += Pᵀ dO;  dS = P * (dO Vᵀ - delta);  dQ += dS K · scale;  dK += dSᵀ Q · scale
+# --------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, n_keys):
+    q = q_ref[0].astype(jnp.float32)
+    num_kb = pl.cdiv(n_keys, block_k)
+    block_q, d = q.shape
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_idx < n_keys, s, NEG_INF)
+        m_cur = jnp.max(s, axis=1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1)
+        acc = acc * alpha[:, None] + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                         *, scale, block_k, n_keys):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    num_kb = pl.cdiv(n_keys, block_k)
+    block_q, d = q.shape
+
+    def body(kb, dq_acc):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_idx < n_keys, s, NEG_INF)
+        p = jnp.exp(s - lse[:, None])  # masked keys → exp(NEG) = 0
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * scale
+        return dq_acc + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, scale, block_q, n_queries, block_idx_dim):
+    # grid cells whose key block is entirely padding produce dk/dv blocks that
+    # the caller slices away; ragged-key masking is not needed here
+    del block_idx_dim
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, d = k.shape
+    num_qb = pl.cdiv(n_queries, block_q)
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q)]
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q)]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse[:, None])
+        # padded queries carry do = 0 and delta = 0 → their dv/dk terms vanish
+        dv_acc = dv_acc + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * scale
+        dk_acc = dk_acc + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (z, z))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _pad_axis1(x, pad):
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_grad(q, k, v, scale, block_q=512, block_k=512, interpret=False):
+    """Differentiable flash attention — same forward as ``flash_attention``,
+    with a FlashAttention-2-style Pallas backward (``custom_vjp``) that
+    recomputes score blocks instead of saving the score matrix. Gradients match
+    the exact-softmax VJP up to reassociation (asserted in
+    tests/test_flash_attention.py)."""
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out
+
+
+def _flash_fwd_res(q, k, v, scale, block_q, block_k, interpret):
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    bq = min(block_q, lq)
+    bk = min(block_k, lk)
+    pad_q = (-lq) % bq
+    pad_k = (-lk) % bk
+    qp = _pad_axis1(q, pad_q)
+    kp = _pad_axis1(k, pad_k)
+    vp = _pad_axis1(v, pad_k)
+    grid = (bh, (lq + pad_q) // bq)
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, scale=scale, block_k=bk, n_keys=lk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, kp.shape[1], d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, vp.shape[1], d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bq), lambda b, i: (b, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq + pad_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, lq + pad_q), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :lq, :] if pad_q else out, lse[:, :lq] if pad_q else lse
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out, lse = _flash_fwd_res(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, dout):
+    q, k, v, out, lse = res
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    bq = min(block_q, lq)
+    bk = min(block_k, lk)
+    pad_q = (-lq) % bq
+    pad_k = (-lk) % bk
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [BH, Lq]
+
+    qp, dop = _pad_axis1(q, pad_q), _pad_axis1(dout, pad_q)
+    kp, vp = _pad_axis1(k, pad_k), _pad_axis1(v, pad_k)
+    # padded queries: do = 0 and delta = 0 ⇒ zero contribution to dk/dv; lse
+    # padding value is irrelevant (0 keeps p finite)
+    lsep = jnp.pad(lse, ((0, 0), (0, pad_q))) if pad_q else lse
+    deltap = jnp.pad(delta, ((0, 0), (0, pad_q))) if pad_q else delta
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, block_k=bk, n_keys=lk),
+        grid=(bh, (lq + pad_q) // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, kp.shape[1], d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, vp.shape[1], d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bq), lambda b, i: (b, i)),
+            pl.BlockSpec((1, bq), lambda b, i: (b, i)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, lq + pad_q, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, block_q=bq,
+                          n_queries=lq + pad_q, block_idx_dim=1),
+        grid=(bh, (lk + pad_k) // bk),
+        in_specs=[
+            pl.BlockSpec((1, qp.shape[1], d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, qp.shape[1], d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, qp.shape[1]), lambda b, j: (b, 0)),
+            pl.BlockSpec((1, qp.shape[1]), lambda b, j: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lk + pad_k, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk + pad_k, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+    if pad_q:
+        dq = dq[:, :lq, :]
+    if pad_k:
+        dk, dv = dk[:, :lk, :], dv[:, :lk, :]
+    return dq, dk, dv
+
+
+flash_attention_grad.defvjp(_flash_fwd, _flash_bwd)

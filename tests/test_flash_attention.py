@@ -45,3 +45,80 @@ def test_flash_in_cvt_encoder_matches_xla():
         use_flash=True, flash_interpret=True,
     )
     np.testing.assert_allclose(np.asarray(flash), np.asarray(base), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("lq,lk,d,bq,bk", [
+    (64, 64, 32, 32, 32),
+    (100, 52, 16, 32, 32),     # ragged both ways
+    (576, 145, 64, 128, 128),  # CvT stage-2 shape (incl. cls token)
+])
+def test_flash_grad_matches_exact(lq, lk, d, bq, bk):
+    """flash_attention_grad's custom_vjp (Pallas dq + dkv kernels, interpret
+    mode) vs autodiff through the exact softmax — VERDICT r3 item 7."""
+    from cxrmate_tpu.ops.flash_attention import flash_attention_grad
+
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(2, lq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(2, lk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(2, lk, d), jnp.float32)
+    cot = jnp.asarray(rng.randn(2, lq, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_exact(q, k, v):
+        return jnp.sum(_exact(q, k, v, scale) * cot)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention_grad(q, k, v, scale, bq, bk, True).astype(jnp.float32) * cot
+        )
+
+    with jax.default_matmul_precision("highest"):
+        eg = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+        fg = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", eg, fg):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=f"d{name}"
+        )
+
+
+def test_flash_grad_forward_equals_inference_kernel():
+    from cxrmate_tpu.ops.flash_attention import flash_attention, flash_attention_grad
+
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(2, 96, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 80, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 80, 32), jnp.float32)
+    a = flash_attention(q, k, v, 0.17, block_q=32, block_k=32, interpret=True)
+    b = flash_attention_grad(q, k, v, 0.17, 32, 32, True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_in_cvt_train_grads_match_xla():
+    """Training with the flash path (CXRMATE_FLASH_ENCODE accuracy mode): the
+    encoder gradient through flash_attention_grad's Pallas VJP matches autodiff
+    through the XLA attention to reassociation tolerance."""
+    from cxrmate_tpu.models.cvt import cvt_encode, init_cvt_variables
+    from tests.oracles import small_cvt_cfg_dataclass
+
+    cfg = small_cvt_cfg_dataclass(projection_size=32)
+    variables = init_cvt_variables(jax.random.PRNGKey(2), cfg)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 3, 64, 64), jnp.float32)
+
+    def loss(params, use_flash):
+        hidden, _ = cvt_encode(
+            params, variables["batch_stats"], x, cfg, train=True, rng=None,
+            use_flash=use_flash, flash_interpret=True,
+        )
+        return jnp.sum(hidden * hidden)
+
+    with jax.default_matmul_precision("highest"):
+        g_xla = jax.grad(lambda p: loss(p, False))(variables["params"])
+        g_flash = jax.grad(lambda p: loss(p, True))(variables["params"])
+    flat_a = jax.tree_util.tree_leaves_with_path(g_xla)
+    flat_b = jax.tree_util.tree_leaves_with_path(g_flash)
+    for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+        assert ka == kb
+        np.testing.assert_allclose(
+            np.asarray(vb), np.asarray(va), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(ka),
+        )
