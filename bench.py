@@ -111,13 +111,17 @@ def make_beam_pipeline(config, decode_tokens, num_beams=NUM_BEAMS):
         bos_token_id=1, eos_token_id=2, pad_token_id=4,
         special_token_ids=(3,), num_beams=num_beams,
     )
+    # resolve the KV-write strategy HERE (explicit static arg) so env changes
+    # between run() calls are honoured despite jit caching
+    write_mode = os.environ.get("CXRMATE_BEAM_WRITE", "fused")
 
     @jax.jit
     def pipeline(variables, pixels):
         enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
         prompt = jnp.full((pixels.shape[0], 1), gen_cfg.bos_token_id, jnp.int32)
         seqs, _ = beam_search(
-            variables, config, gen_cfg, enc_hidden, enc_mask, prompt, jnp.ones_like(prompt)
+            variables, config, gen_cfg, enc_hidden, enc_mask, prompt, jnp.ones_like(prompt),
+            write_mode=write_mode,
         )
         return seqs
 
@@ -148,12 +152,14 @@ def make_longitudinal_beam_pipeline(config, decode_tokens, prompt_width,
         num_beams=num_beams,
     )
 
+    write_mode = os.environ.get("CXRMATE_BEAM_WRITE", "fused")
+
     @jax.jit
     def pipeline(variables, pixels, prompt_ids, prompt_mask):
         enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
         seqs, _ = beam_search(
             variables, config, gen_cfg, enc_hidden, enc_mask, prompt_ids, prompt_mask,
-            prompt_logits_col=prompt_width - 1,
+            prompt_logits_col=prompt_width - 1, write_mode=write_mode,
         )
         return seqs
 

@@ -34,7 +34,9 @@ def _gather_beams(tensor, beam_indices):
     return jnp.take_along_axis(tensor, idx.astype(jnp.int32), axis=1)
 
 
-@partial(jax.jit, static_argnames=("config", "gen_cfg", "prompt_logits_col", "write_mode"))
+# prompt_logits_col is NOT static — see generate(): a static column would
+# recompile per distinct true prompt width despite the width bucketing
+@partial(jax.jit, static_argnames=("config", "gen_cfg", "write_mode"))
 def beam_search(
     variables,
     config: EncoderDecoderConfig,

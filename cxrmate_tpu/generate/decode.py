@@ -80,9 +80,12 @@ def _type_from_present(present: jnp.ndarray, gen_cfg: GenerationConfig) -> jnp.n
 
 @functools.partial(
     jax.jit,
+    # prompt_logits_col is deliberately NOT static: the CLI test stage buckets
+    # prompt widths to multiples of 32 but pins the first-token column to the
+    # batch's true longest width — a static column would recompile per distinct
+    # true width, defeating the bucketing (one program per bucket, not per batch)
     static_argnames=(
         "config", "gen_cfg", "max_new_tokens_pad", "return_scores", "use_fused",
-        "prompt_logits_col",
     ),
 )
 def generate(

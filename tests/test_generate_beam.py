@@ -247,3 +247,38 @@ def test_beam_write_modes_identical():
         outs[mode] = (np.asarray(seqs), np.asarray(scores))
     np.testing.assert_array_equal(outs["fused"][0], outs["dus"][0])
     np.testing.assert_array_equal(outs["fused"][1], outs["dus"][1])
+
+
+def test_prompt_logits_col_does_not_recompile():
+    """The CLI test stage buckets prompt widths but pins the first-token logits
+    column to the batch's true width — the column must be a TRACED argument, or
+    every distinct true width would compile a fresh beam program despite the
+    bucketing (serving compile-count regression guard)."""
+    ref = build_reference_model("longitudinal", vocab_size=97, seed=31)
+    cfg = _my_config("longitudinal")
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(11)
+    pixels = rng.randn(2, 2, 3, 64, 64).astype(np.float32)
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pixels), cfg)
+    PMT_SEP = 6
+    gen_cfg = GenerationConfig(
+        max_new_tokens=8, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        mask_token_id=PAD, special_token_ids=(PMT_SEP, BOS, SEP),
+        token_type_sections=(0, 1, 0, 1), num_beams=2,
+    )
+    width = 8  # one bucket
+    ids = np.full((2, width), PAD, np.int32)
+    ids[:, 0] = BOS
+    ids[:, 1:4] = 7
+    prompt_ids = jnp.asarray(ids)
+    prompt_mask = jnp.asarray((ids != PAD).astype(np.int32))
+    before = beam_search._cache_size()
+    out3, _ = beam_search(variables, cfg, gen_cfg, enc_hidden, enc_mask,
+                          prompt_ids, prompt_mask, prompt_logits_col=3)
+    after_first = beam_search._cache_size()
+    out4, _ = beam_search(variables, cfg, gen_cfg, enc_hidden, enc_mask,
+                          prompt_ids, prompt_mask, prompt_logits_col=4)
+    after_second = beam_search._cache_size()
+    assert after_first == before + 1
+    assert after_second == after_first, "distinct logits columns recompiled"
+    assert not np.array_equal(np.asarray(out3), np.asarray(out4))  # column matters
