@@ -131,15 +131,15 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, n_
     l0 = jnp.zeros((block_q,), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)
+    lse_ref[0, 0] = m + jnp.log(l)
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                          *, scale, block_k, n_keys):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]
-    delta = delta_ref[0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
     num_kb = pl.cdiv(n_keys, block_k)
     block_q, d = q.shape
 
@@ -172,8 +172,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_acc, dv_acc = carry
         q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qb * block_q, block_q)]
-        delta = delta_ref[0, pl.ds(qb * block_q, block_q)]
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         p = jnp.exp(s - lse[:, None])
         # padded queries carry do = 0 and delta = 0 → their dv/dk terms vanish
@@ -225,15 +225,17 @@ def _flash_fwd_res(q, k, v, scale, block_q, block_k, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i)),
+            # lse rides as [bh, 1, lq] so its block (1, 1, bq) keeps the
+            # second-to-last dim equal to the full axis (Mosaic block rule)
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, lq + pad_q, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, lq + pad_q), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, lq + pad_q), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp)
-    return out[:, :lq, :] if pad_q else out, lse[:, :lq] if pad_q else lse
+    return out[:, :lq, :] if pad_q else out, lse[:, 0, :lq]
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
@@ -254,9 +256,10 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, dout):
     qp, dop = _pad_axis1(q, pad_q), _pad_axis1(dout, pad_q)
     kp, vp = _pad_axis1(k, pad_k), _pad_axis1(v, pad_k)
     # padded queries: do = 0 and delta = 0 ⇒ zero contribution to dk/dv; lse
-    # padding value is irrelevant (0 keeps p finite)
-    lsep = jnp.pad(lse, ((0, 0), (0, pad_q))) if pad_q else lse
-    deltap = jnp.pad(delta, ((0, 0), (0, pad_q))) if pad_q else delta
+    # padding value is irrelevant (0 keeps p finite). Shaped [bh, 1, Lq] for
+    # the Mosaic block rule (see _flash_fwd_res).
+    lsep = (jnp.pad(lse, ((0, 0), (0, pad_q))) if pad_q else lse)[:, None, :]
+    deltap = (jnp.pad(delta, ((0, 0), (0, pad_q))) if pad_q else delta)[:, None, :]
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, block_k=bk, n_keys=lk),
@@ -266,8 +269,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, dout):
             pl.BlockSpec((1, kp.shape[1], d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, vp.shape[1], d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i)),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, lq + pad_q, d), q.dtype),
@@ -283,8 +286,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, dout):
             pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, qp.shape[1], d), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, qp.shape[1]), lambda b, j: (b, 0)),
-            pl.BlockSpec((1, qp.shape[1]), lambda b, j: (b, 0)),
+            pl.BlockSpec((1, 1, qp.shape[1]), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, qp.shape[1]), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0)),
