@@ -787,7 +787,15 @@ def build_bertscorer(task: TaskConfig):
             f"no roberta-large checkpoint dir under {task.ckpt_zoo_dir} "
             f"(looked for {candidates})"
         )
-    params, cfg = convert_roberta(orbax_io.load_hf_pretrained_dir(path))
+    heads = None
+    cfg_json = os.path.join(path, "config.json")
+    if os.path.exists(cfg_json):
+        import json
+
+        with open(cfg_json) as f:
+            heads = json.load(f).get("num_attention_heads")
+    params, cfg = convert_roberta(orbax_io.load_hf_pretrained_dir(path),
+                                  num_attention_heads=heads)
     tok = RobertaBPETokenizer.from_dir(path)
     num_layers = min(17, cfg.num_hidden_layers)  # roberta-large: layer 17
     baseline = None

@@ -188,11 +188,15 @@ class RobertaBPETokenizer:
         return {"input_ids": input_ids, "attention_mask": attention_mask}
 
 
-def convert_roberta(sd: Dict) -> Tuple[Dict, BertDecoderConfig]:
+def convert_roberta(sd: Dict, num_attention_heads: Optional[int] = None) -> Tuple[Dict, BertDecoderConfig]:
     """Convert an HF RoBERTa encoder state dict (``roberta.*`` keys, e.g.
     roberta-large as bert-score downloads it) into the in-tree BERT pytree; the
     config is derived from the tensor shapes. RoBERTa differs from BERT only in
-    naming (remapped here) and the position scheme (``roberta_position_ids``)."""
+    naming (remapped here) and the position scheme (``roberta_position_ids``).
+
+    ``num_attention_heads`` is NOT recoverable from shapes and changes the
+    attention partitioning — pass it from the checkpoint's config.json
+    (build_bertscorer does); the fallback assumes RoBERTa's 64-dim heads."""
     from cxrmate_tpu.ckpt.hf_convert import convert_bert_decoder
     from cxrmate_tpu.reward.cxrbert import _fake_lm_head
 
@@ -203,10 +207,10 @@ def convert_roberta(sd: Dict) -> Tuple[Dict, BertDecoderConfig]:
     )
     hidden = int(word.shape[1])
     inter = int(sd["bert.encoder.layer.0.intermediate.dense.weight"].shape[0])
-    # head count is not recoverable from shapes; RoBERTa uses 64-dim heads
     cfg = BertDecoderConfig(
         vocab_size=int(word.shape[0]), hidden_size=hidden,
-        num_hidden_layers=n_layers, num_attention_heads=max(1, hidden // 64),
+        num_hidden_layers=n_layers,
+        num_attention_heads=num_attention_heads or max(1, hidden // 64),
         intermediate_size=inter,
         max_position_embeddings=int(sd["bert.embeddings.position_embeddings.weight"].shape[0]),
         type_vocab_size=int(sd["bert.embeddings.token_type_embeddings.weight"].shape[0]),

@@ -132,6 +132,7 @@ def roberta_zoo(synthetic_dataset):
     model = transformers.RobertaModel(cfg, add_pooling_layer=False).eval()
     sd = {f"roberta.{k}": v for k, v in model.state_dict().items()}
     torch.save(sd, path / "pytorch_model.bin")
+    cfg.to_json_file(path / "config.json")  # num_attention_heads source
     # bert-score baseline format: CSV LAYER,P,R,F (one row per layer)
     with open(path / "roberta-large.tsv", "w") as f:
         f.write("LAYER,P,R,F\n")
@@ -156,6 +157,7 @@ def test_build_bertscorer_and_test_battery(synthetic_dataset, roberta_zoo):
     scorer = build_bertscorer(task)
     assert scorer.baseline == (0.05, 0.05, 0.05)
     assert scorer.num_layers == 3  # min(17, tiny depth)
+    assert scorer.config.num_attention_heads == 2  # from config.json, not hidden//64
 
     # converter + roberta position scheme parity vs the torch model
     _, model, _ = roberta_zoo
@@ -169,11 +171,11 @@ def test_build_bertscorer_and_test_battery(synthetic_dataset, roberta_zoo):
         )
     with jax.default_matmul_precision("highest"):
         hidden, _ = scorer._embed(texts)
-    # torch-cpu runs oneDNN fast-math; element tolerance is what the other
-    # hidden-state parity tests use at this depth
+    # tolerance covers torch-cpu oneDNN fast-math only — tight enough that a
+    # wrong head partitioning (the bug this guards) exceeds it
     np.testing.assert_allclose(
         np.asarray(hidden), out.hidden_states[scorer.num_layers].numpy(),
-        rtol=5e-3, atol=1e-3,
+        rtol=1e-3, atol=5e-5,
     )
 
     # and the full test stage reports + dumps the metric
