@@ -62,14 +62,19 @@ def beam_search(
         attention, and the reorder dot runs without the fused write. With the
         reorder as a dot (not the round-2 gather that forced a T-minor layout),
         the DUS is tile-aligned — this skips the virtual-read select pass that
-        XLA materialises at ~full cache size per step.
+        XLA materialises at ~full cache size per step. (Measured 40-50% slower
+        than 'fused' on the axon v5e — DEVNOTES round 3.)
+      * 'pallas': attention reads the virtual column like 'fused', but the
+        reorder + column write is the IN-PLACE Pallas kernel
+        (ops/beam_reorder.py, ``input_output_aliases``) — no while-carry
+        double-buffer copy of the cache (~1.6 ms/step at longitudinal b24).
     Resolved from ``CXRMATE_BEAM_WRITE`` at trace time when None — pass
     explicitly to override after a cached trace."""
     if write_mode is None:
         import os
 
         write_mode = os.environ.get("CXRMATE_BEAM_WRITE", "fused")
-    assert write_mode in ("fused", "dus"), write_mode
+    assert write_mode in ("fused", "dus", "pallas"), write_mode
     params = variables["params"]["decoder"]
     dcfg = config.decoder
     k = gen_cfg.num_beams
@@ -204,14 +209,35 @@ def beam_search(
             return y
 
         pend_k, pend_v = pending if pending is not None else (None, None)
-        cache = bert_mod.DecodeCache(
-            self_k=tuple(reorder(x, pend_k[i] if pend_k else None)
-                         for i, x in enumerate(cache.self_k)),
-            self_v=tuple(reorder(x, pend_v[i] if pend_v else None)
-                         for i, x in enumerate(cache.self_v)),
-            cross_k=cache.cross_k,
-            cross_v=cache.cross_v,
-        )
+        if write_mode == "pallas":
+            # in-place row-permutation + column-write kernel
+            # (ops/beam_reorder.py): the cache buffers are donated, so the
+            # while carry needs no double-buffer copy. Pure copies — exact.
+            from cxrmate_tpu.ops.beam_reorder import beam_reorder_write
+
+            sel_local = sel_beam.reshape(b * k).astype(jnp.int32)
+            widx = write_idx if write_idx is not None else jnp.asarray(-1, jnp.int32)
+            interp = jax.default_backend() != "tpu"
+            sk, sv = list(cache.self_k), list(cache.self_v)
+            for li in range(len(sk)):
+                nk = pend_k[li] if pend_k else jnp.zeros(sk[li].shape[:2] + sk[li].shape[3:], sk[li].dtype)
+                nv = pend_v[li] if pend_v else jnp.zeros(sv[li].shape[:2] + sv[li].shape[3:], sv[li].dtype)
+                sk[li], sv[li] = beam_reorder_write(
+                    sk[li], sv[li], nk, nv, sel_local, widx, beams=k, interpret=interp
+                )
+            cache = bert_mod.DecodeCache(
+                self_k=tuple(sk), self_v=tuple(sv),
+                cross_k=cache.cross_k, cross_v=cache.cross_v,
+            )
+        else:
+            cache = bert_mod.DecodeCache(
+                self_k=tuple(reorder(x, pend_k[i] if pend_k else None)
+                             for i, x in enumerate(cache.self_k)),
+                self_v=tuple(reorder(x, pend_v[i] if pend_v else None)
+                             for i, x in enumerate(cache.self_v)),
+                cross_k=cache.cross_k,
+                cross_v=cache.cross_v,
+            )
 
         cur = cur + 1
         # early-stop heuristic (HF _check_early_stop_heuristic, early_stopping False/True

@@ -282,3 +282,58 @@ def test_prompt_logits_col_does_not_recompile():
     assert after_first == before + 1
     assert after_second == after_first, "distinct logits columns recompiled"
     assert not np.array_equal(np.asarray(out3), np.asarray(out4))  # column matters
+
+
+def test_beam_write_mode_pallas_identical():
+    """write_mode='pallas' (in-place Pallas reorder+write, interpret mode on
+    CPU) must produce bit-identical sequences and scores to the fused dot
+    path — the kernel is pure data movement."""
+    ref = build_reference_model("multi", vocab_size=97, seed=23)
+    cfg = _my_config("multi")
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(6)
+    pixels = rng.randn(3, 2, 3, 64, 64).astype(np.float32)
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pixels), cfg)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=11,
+        bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        special_token_ids=(SEP,), num_beams=4,
+    )
+    prompt = jnp.full((3, 1), BOS, jnp.int32)
+    outs = {}
+    for mode in ("fused", "pallas"):
+        seqs, scores = beam_search(
+            variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt,
+            jnp.ones((3, 1), jnp.int32), write_mode=mode,
+        )
+        outs[mode] = (np.asarray(seqs), np.asarray(scores))
+    np.testing.assert_array_equal(outs["fused"][0], outs["pallas"][0])
+    np.testing.assert_array_equal(outs["fused"][1], outs["pallas"][1])
+
+
+def test_beam_reorder_write_kernel_unit():
+    """Unit check of ops/beam_reorder.py against the reference formulation
+    (gather + column write), incl. the no-write (-1) first-step case."""
+    from cxrmate_tpu.ops.beam_reorder import beam_reorder_write
+
+    rng = np.random.RandomState(0)
+    groups, beams, h, t, dh = 3, 4, 2, 16, 64
+    r = groups * beams
+    ck = jnp.asarray(rng.randn(r, h, t, dh), jnp.float32)
+    cv = jnp.asarray(rng.randn(r, h, t, dh), jnp.float32)
+    nk = jnp.asarray(rng.randn(r, h, dh), jnp.float32)
+    nv = jnp.asarray(rng.randn(r, h, dh), jnp.float32)
+    sel = jnp.asarray(rng.randint(0, beams, r), jnp.int32)
+
+    def expected(cache, new, idx):
+        src = (np.arange(r) // beams) * beams + np.asarray(sel)
+        out = np.asarray(cache)[src]
+        if idx >= 0:
+            out[:, :, idx, :] = np.asarray(new)[src]
+        return out
+
+    for idx in (5, 0, t - 1, -1):
+        ok, ov = beam_reorder_write(ck, cv, nk, nv, sel, jnp.asarray(idx, jnp.int32),
+                                    beams=beams, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ok), expected(ck, nk, idx))
+        np.testing.assert_array_equal(np.asarray(ov), expected(cv, nv, idx))
