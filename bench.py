@@ -84,6 +84,7 @@ def make_pipeline(config, variables, batch, decode_tokens):
     # remote-compile tunnel is prohibitive (>25 min); off by default pending a
     # grid-over-heads restructure
     use_fused = os.environ.get("CXRMATE_BENCH_FUSED", "0") == "1"
+    cache_segments = os.environ.get("CXRMATE_CACHE_SEGMENTS", "4:32")
 
     @jax.jit
     def pipeline(variables, pixels):
@@ -91,7 +92,7 @@ def make_pipeline(config, variables, batch, decode_tokens):
         prompt = jnp.full((pixels.shape[0], 1), gen_cfg.bos_token_id, jnp.int32)
         seqs = generate(
             variables, config, gen_cfg, enc_hidden, enc_mask, prompt,
-            jnp.ones_like(prompt), use_fused=use_fused,
+            jnp.ones_like(prompt), use_fused=use_fused, cache_segments=cache_segments,
         )
         return seqs
 
@@ -114,6 +115,7 @@ def make_beam_pipeline(config, decode_tokens, num_beams=NUM_BEAMS):
     # resolve the KV-write strategy HERE (explicit static arg) so env changes
     # between run() calls are honoured despite jit caching
     write_mode = os.environ.get("CXRMATE_BEAM_WRITE", "fused")
+    cache_segments = os.environ.get("CXRMATE_CACHE_SEGMENTS", "4:32")
 
     @jax.jit
     def pipeline(variables, pixels):
@@ -121,7 +123,7 @@ def make_beam_pipeline(config, decode_tokens, num_beams=NUM_BEAMS):
         prompt = jnp.full((pixels.shape[0], 1), gen_cfg.bos_token_id, jnp.int32)
         seqs, _ = beam_search(
             variables, config, gen_cfg, enc_hidden, enc_mask, prompt, jnp.ones_like(prompt),
-            write_mode=write_mode,
+            write_mode=write_mode, cache_segments=cache_segments,
         )
         return seqs
 
@@ -153,6 +155,7 @@ def make_longitudinal_beam_pipeline(config, decode_tokens, prompt_width,
     )
 
     write_mode = os.environ.get("CXRMATE_BEAM_WRITE", "fused")
+    cache_segments = os.environ.get("CXRMATE_CACHE_SEGMENTS", "4:32")
 
     @jax.jit
     def pipeline(variables, pixels, prompt_ids, prompt_mask):
@@ -160,6 +163,7 @@ def make_longitudinal_beam_pipeline(config, decode_tokens, prompt_width,
         seqs, _ = beam_search(
             variables, config, gen_cfg, enc_hidden, enc_mask, prompt_ids, prompt_mask,
             prompt_logits_col=prompt_width - 1, write_mode=write_mode,
+            cache_segments=cache_segments,
         )
         return seqs
 

@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 
 from cxrmate_tpu.configs import EncoderDecoderConfig
-from cxrmate_tpu.generate.decode import GenerationConfig
+from cxrmate_tpu.generate.decode import (
+    GenerationConfig,
+    grow_cache,
+    resolve_cache_segments,
+    segment_bounds,
+)
 from cxrmate_tpu.models import bert as bert_mod
 from cxrmate_tpu.models import encoder_decoder as ed
 
@@ -36,7 +41,7 @@ def _gather_beams(tensor, beam_indices):
 
 # prompt_logits_col is NOT static — see generate(): a static column would
 # recompile per distinct true prompt width despite the width bucketing
-@partial(jax.jit, static_argnames=("config", "gen_cfg", "write_mode"))
+@partial(jax.jit, static_argnames=("config", "gen_cfg", "write_mode", "cache_segments"))
 def beam_search(
     variables,
     config: EncoderDecoderConfig,
@@ -47,6 +52,7 @@ def beam_search(
     prompt_mask: jnp.ndarray,
     prompt_logits_col: Optional[int] = None,
     write_mode: Optional[str] = None,
+    cache_segments: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam-search decode → (sequences [B, P + max_new], scores [B]).
 
@@ -69,7 +75,14 @@ def beam_search(
         (ops/beam_reorder.py, ``input_output_aliases``) — no while-carry
         double-buffer copy of the cache (~1.6 ms/step at longitudinal b24).
     Resolved from ``CXRMATE_BEAM_WRITE`` at trace time when None — pass
-    explicitly to override after a cached trace."""
+    explicitly to override after a cached trace.
+
+    ``cache_segments``: segmented cache growth — decode in N phases with a
+    narrower self-KV cache early, zero-padding it up between phases
+    (bit-identical; see ``decode.segment_bounds``). Every cache-width-scaled
+    step cost (reorder dot, virtual-read select, while-carry copies) shrinks
+    to the phase width. None reads ``CXRMATE_CACHE_SEGMENTS`` (default
+    "4:32" — measured best, DEVNOTES round 3)."""
     if write_mode is None:
         import os
 
@@ -81,6 +94,7 @@ def beam_search(
     b, p_len = prompt_ids.shape
     max_new = gen_cfg.max_new_tokens
     t_total = p_len + max_new
+    bounds = segment_bounds(p_len, max_new, *resolve_cache_segments(cache_segments))
     keep = 2 * k  # beams_to_keep with one EOS token
     vocab = dcfg.vocab_size
     masked_pads = gen_cfg.mask_token_id is not None
@@ -97,7 +111,7 @@ def beam_search(
     else:
         attn_prompt = jnp.ones((b, p_len), dtype=jnp.int32)
         prompt_pos = jnp.broadcast_to(jnp.arange(p_len), (b, p_len))
-    cache = bert_mod.init_cache(dcfg, b, t_total, encoder_hidden.shape[1], dtype=encoder_hidden.dtype)
+    cache = bert_mod.init_cache(dcfg, b, bounds[0], encoder_hidden.shape[1], dtype=encoder_hidden.dtype)
     with jax.named_scope("prefill"):
         prefill_logits, cache = bert_mod.bert_prefill(
             params, dcfg, cache, prompt_ids, attn_prompt, prompt_types, prompt_pos,
@@ -204,7 +218,10 @@ def beam_search(
         def reorder(x, new_col):
             y = mix(x)
             if new_col is not None:  # fused write of the step's new KV column
-                y = jnp.where(cols[None, None, :, None] == write_idx,
+                # column mask over the cache's OWN width (= the current phase's
+                # t_cap under segmented growth, not the full t_total)
+                cache_cols = jnp.arange(x.shape[2])
+                y = jnp.where(cache_cols[None, None, :, None] == write_idx,
                               mix(new_col)[:, :, None, :], y)
             return y
 
@@ -261,7 +278,10 @@ def beam_search(
     def cond(carry):
         state, all_hit = carry
         seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur = state
-        return jnp.any(early_unsat) & ~all_hit & (cur < t_total)
+        # the cache width caps this phase; the final phase's width is t_total,
+        # so the overall stopping rule is unchanged
+        t_cap = cache.self_k[0].shape[2]
+        return jnp.any(early_unsat) & ~all_hit & (cur < t_cap)
 
     @jax.named_scope("decode_step")
     def body(carry):
@@ -286,19 +306,20 @@ def beam_search(
         else:
             key_mask = upto.astype(jnp.int32) * jnp.ones((b * k, 1), jnp.int32)
             pos = jnp.zeros((b * k,), jnp.int32) + i
+        t_cap = cache.self_k[0].shape[2]  # current phase's cache width
         if write_mode == "dus":
             # write-then-read: the column lands via dynamic_update_slice before
             # attention (tile-aligned under the reorder dot's layout), attention
             # reads the real cache — no virtual-read select to materialise
             logits, cache = bert_mod.bert_step(
-                params, dcfg, cache, q_tok, ttype, pos, i, key_mask, enc_mask_flat,
-                lora=config.lora, deferred_write=False,
+                params, dcfg, cache, q_tok, ttype, pos, i, key_mask[:, :t_cap],
+                enc_mask_flat, lora=config.lora, deferred_write=False,
             )
             pending = None
         else:
             logits, pending = bert_mod.bert_step(
-                params, dcfg, cache, q_tok, ttype, pos, i, key_mask, enc_mask_flat,
-                lora=config.lora, deferred_write=True,
+                params, dcfg, cache, q_tok, ttype, pos, i, key_mask[:, :t_cap],
+                enc_mask_flat, lora=config.lora, deferred_write=True,
             )
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         new_state, all_hit = select_and_update(
@@ -313,6 +334,14 @@ def beam_search(
     # remove them (XLA still places the conditional's outputs in fresh buffers)
     # and ballooned compile time ~4× through the remote-compile tunnel — keep
     # the single-step loop.
-    state, _ = jax.lax.while_loop(cond, body, (state, all_hit0))
+    carry = jax.lax.while_loop(cond, body, (state, all_hit0))
+    for nb in bounds[1:]:
+        # next phase: widen the cache (exact — new columns are key-masked) and
+        # re-enter the same loop body at the larger static width. If decoding
+        # already stopped, the loop no-ops and we pay only the pad copy.
+        state, all_hit = carry
+        state = state[:6] + (grow_cache(state[6], nb), state[7])
+        carry = jax.lax.while_loop(cond, body, (state, all_hit))
+    state, _ = carry
     seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur = state
     return fin_seq[:, 0, :], fin_scores[:, 0]

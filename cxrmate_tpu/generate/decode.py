@@ -67,6 +67,81 @@ def _specials_present(seq_prefix: jnp.ndarray, gen_cfg: GenerationConfig) -> jnp
     )
 
 
+def resolve_cache_segments(cache_segments) -> Tuple[int, int]:
+    """Resolve the segmented-cache-growth spec (trace-time, static) →
+    ``(segments, round_to)``.
+
+    Accepts an int (phase count), a string ``"N"`` or ``"N:round"`` (phase
+    count plus width-rounding granularity, for tests whose tiny shapes would
+    otherwise collapse under the default 64), or ``None`` to read
+    ``CXRMATE_CACHE_SEGMENTS``. The default is ``"4:32"`` — measured best on
+    the v5e (DEVNOTES round 3: beam-4 b24 23.9 → 29.6 studies/s, 8 phases no
+    better); set ``1`` for the single full-width loop. Segmentation is
+    bit-exact, so the default needs no accuracy caveat (inertness tests in
+    tests/test_generate_{greedy,beam}.py, test_scst.py).
+    See ``segment_bounds`` for what segmentation buys."""
+    if cache_segments is None:
+        import os
+
+        cache_segments = os.environ.get("CXRMATE_CACHE_SEGMENTS", "4:32")
+    round_to = 64
+    if isinstance(cache_segments, str):
+        if ":" in cache_segments:
+            seg_s, round_s = cache_segments.split(":")
+            cache_segments, round_to = int(seg_s), int(round_s)
+        else:
+            cache_segments = int(cache_segments)
+    assert cache_segments >= 1 and round_to >= 1, (cache_segments, round_to)
+    return cache_segments, round_to
+
+
+def segment_bounds(p_len: int, max_new: int, segments: int, round_to: int = 64) -> Tuple[int, ...]:
+    """Cache widths for segmented cache growth (ascending, last = p_len+max_new).
+
+    The decode-step cost that scales with the cache width T — self-KV streaming
+    reads, the beam reorder one-hot dot, and XLA's while-carry double-buffer
+    copies (together ~55% of the longitudinal beam step, DEVNOTES round 3) —
+    covers the FULL padded T every step, even though the live prefix averages
+    only ~(p_len + max_new/2). Decoding in ``segments`` phases, each a separate
+    while_loop over a cache of width T_s (padded up with zeros between phases),
+    cuts that traffic to the average phase width. Values are bit-identical to
+    the single-phase loop: dead columns carry an additive -1e9 mask, so their
+    softmax weights underflow to exactly 0.0f and contribute exact zeros to
+    every reduction, and zero-padding the cache is pure data movement.
+
+    Widths are rounded up to multiples of 64 (sublane-tile friendly, fewer
+    distinct loop shapes); duplicates collapse, so the effective phase count
+    can be smaller than requested.
+    """
+    t_total = p_len + max_new
+    bounds = []
+    for s in range(1, segments):
+        cap = p_len + (max_new * s + segments - 1) // segments
+        cap = min(-(-cap // round_to) * round_to, t_total)
+        if cap > p_len and (not bounds or cap > bounds[-1]):
+            bounds.append(cap)
+    if not bounds or bounds[-1] < t_total:
+        bounds.append(t_total)
+    return tuple(bounds)
+
+
+def grow_cache(cache, new_t: int):
+    """Zero-pad the self-KV cache's T axis to ``new_t`` (exact: dead columns
+    are masked everywhere they are read)."""
+    pad = new_t - cache.self_k[0].shape[2]
+    assert pad >= 0
+
+    def widen(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    return bert_mod.DecodeCache(
+        self_k=tuple(widen(x) for x in cache.self_k),
+        self_v=tuple(widen(x) for x in cache.self_v),
+        cross_k=cache.cross_k,
+        cross_v=cache.cross_v,
+    )
+
+
 def _type_from_present(present: jnp.ndarray, gen_cfg: GenerationConfig) -> jnp.ndarray:
     """Reference `token_ids_to_token_type_ids_past` rule: iterate specials in order,
     last one present wins (modelling_single.py:294-318)."""
@@ -86,6 +161,7 @@ def _type_from_present(present: jnp.ndarray, gen_cfg: GenerationConfig) -> jnp.n
     # true width, defeating the bucketing (one program per bucket, not per batch)
     static_argnames=(
         "config", "gen_cfg", "max_new_tokens_pad", "return_scores", "use_fused",
+        "cache_segments",
     ),
 )
 def generate(
@@ -102,6 +178,7 @@ def generate(
     return_scores: bool = False,
     use_fused: bool = False,
     prompt_logits_col: Optional[int] = None,
+    cache_segments: Optional[int] = None,
 ):
     """Greedy or sampled decoding (num_beams == 1).
 
@@ -115,6 +192,10 @@ def generate(
         row's query is its final real token). When the prompt is bucket-padded
         beyond the batch-longest width, pass the true longest width - 1 so results
         are identical to the unbucketed batch.
+      cache_segments: segmented cache growth — decode in N phases with a
+        narrower self-KV cache early, zero-padding it up between phases
+        (bit-identical values; see ``segment_bounds``). None reads
+        CXRMATE_CACHE_SEGMENTS (default "4:32").
     Returns:
       sequences [B, P + max_new] (+ scores if requested).
     """
@@ -124,6 +205,7 @@ def generate(
     b, p_len = prompt_ids.shape
     max_new = gen_cfg.max_new_tokens if max_new_tokens_pad is None else max_new_tokens_pad
     t_total = p_len + max_new
+    bounds = segment_bounds(p_len, max_new, *resolve_cache_segments(cache_segments))
     masked_pads = gen_cfg.mask_token_id is not None
 
     # ---- prompt-side ids ----
@@ -137,7 +219,7 @@ def generate(
         attn_prompt = jnp.ones((b, p_len), dtype=jnp.int32)
         prompt_pos = jnp.broadcast_to(jnp.arange(p_len), (b, p_len))
 
-    cache = bert_mod.init_cache(dcfg, b, t_total, encoder_hidden.shape[1], dtype=encoder_hidden.dtype)
+    cache = bert_mod.init_cache(dcfg, b, bounds[0], encoder_hidden.shape[1], dtype=encoder_hidden.dtype)
     with jax.named_scope("prefill"):
         prefill_logits, cache = bert_mod.bert_prefill(
             params, dcfg, cache, prompt_ids, attn_prompt, prompt_types, prompt_pos,
@@ -191,10 +273,14 @@ def generate(
     }
 
     def cond(s):
-        return (s["cur"] < t_total) & ~jnp.all(s["finished"])
+        # the cache width caps this phase's loop; the last phase's width is
+        # t_total, so the final stopping rule is unchanged
+        t_cap = s["cache"].self_k[0].shape[2]
+        return (s["cur"] < t_cap) & ~jnp.all(s["finished"])
 
     @jax.named_scope("decode_step")
     def body(s):
+        t_cap = s["cache"].self_k[0].shape[2]
         i = s["cur"] - 1  # query index = last appended token
         q_tok = jax.lax.dynamic_slice(s["seq"], (0, i), (b, 1))[:, 0]
         # fold tokens [0, i) into presence: the token at i-1 was not folded yet
@@ -208,7 +294,8 @@ def generate(
         else:
             pos = jnp.full((b,), 0, jnp.int32) + i
         logits, cache = bert_mod.bert_step(
-            params, dcfg, s["cache"], q_tok, ttype, pos, i, s["key_mask"], encoder_mask,
+            params, dcfg, s["cache"], q_tok, ttype, pos, i,
+            s["key_mask"][:, :t_cap], encoder_mask,
             lora=config.lora, use_fused=use_fused,
         )
         rng_step, rng_next = jax.random.split(s["rng"])
@@ -239,12 +326,20 @@ def generate(
         return out
 
     state = jax.lax.while_loop(cond, body, state)
+    for nb in bounds[1:]:
+        # next phase: widen the cache (exact — new columns are masked zeros)
+        # and re-enter the same loop body at the larger static width. If every
+        # row already finished, the loop no-ops and we pay only the pad copy.
+        state = dict(state, cache=grow_cache(state["cache"], nb))
+        state = jax.lax.while_loop(cond, body, state)
     if return_scores:
         return state["seq"], state["scores"]
     return state["seq"]
 
 
-@functools.partial(jax.jit, static_argnames=("config", "cfg_sample", "cfg_base"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "cfg_sample", "cfg_base", "cache_segments")
+)
 def scst_rollout_decode(
     variables,
     config: EncoderDecoderConfig,
@@ -255,6 +350,7 @@ def scst_rollout_decode(
     prompt_ids: jnp.ndarray,
     prompt_mask: jnp.ndarray,
     rng: jax.Array,
+    cache_segments=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SCST rollout: sampled sequences + greedy baselines in ONE decode loop.
 
@@ -289,6 +385,7 @@ def scst_rollout_decode(
     b, p_len = prompt_ids.shape
     max_new = cfg_sample.max_new_tokens
     t_total = p_len + max_new
+    bounds = segment_bounds(p_len, max_new, *resolve_cache_segments(cache_segments))
     mask_id = cfg_sample.mask_token_id
 
     # ---- prompt-side ids per half (the halves differ only in token types) ----
@@ -306,7 +403,7 @@ def scst_rollout_decode(
     rows = 2 * b
     enc2 = jnp.concatenate([encoder_hidden, encoder_hidden], axis=0)
     encm2 = jnp.concatenate([encoder_mask, encoder_mask], axis=0)
-    cache = bert_mod.init_cache(dcfg, rows, t_total, enc2.shape[1], dtype=enc2.dtype)
+    cache = bert_mod.init_cache(dcfg, rows, bounds[0], enc2.shape[1], dtype=enc2.dtype)
     with jax.named_scope("prefill"):
         prefill_logits, cache = bert_mod.bert_prefill(
             params, dcfg, cache, prompt2, attn2, ptypes2, pos2, enc2, encm2,
@@ -347,10 +444,14 @@ def scst_rollout_decode(
     }
 
     def cond(s):
-        return (s["cur"] < t_total) & ~jnp.all(s["finished"])
+        # the cache width caps this phase (segmented growth); the final phase's
+        # width is t_total, so the overall stopping rule is unchanged
+        t_cap = s["cache"].self_k[0].shape[2]
+        return (s["cur"] < t_cap) & ~jnp.all(s["finished"])
 
     @jax.named_scope("decode_step")
     def body(s):
+        t_cap = s["cache"].self_k[0].shape[2]
         i = s["cur"] - 1
         q_tok = jax.lax.dynamic_slice(s["seq"], (0, i), (rows, 1))[:, 0]
         prev_tok = jax.lax.dynamic_slice(s["seq"], (0, i - 1), (rows, 1))[:, 0]
@@ -366,8 +467,8 @@ def scst_rollout_decode(
         )
         pos = jnp.maximum(s["real_count"] - 1, 0)
         logits, cache = bert_mod.bert_step(
-            params, dcfg, s["cache"], q_tok, ttype, pos, i, s["key_mask"], encm2,
-            lora=config.lora,
+            params, dcfg, s["cache"], q_tok, ttype, pos, i,
+            s["key_mask"][:, :t_cap], encm2, lora=config.lora,
         )
         rng_step, rng_next = jax.random.split(s["rng"])
         tok = select_token(logits, rng_step)
@@ -384,4 +485,7 @@ def scst_rollout_decode(
         }
 
     state = jax.lax.while_loop(cond, body, state)
+    for nb in bounds[1:]:
+        state = dict(state, cache=grow_cache(state["cache"], nb))
+        state = jax.lax.while_loop(cond, body, state)
     return state["seq"][:b], state["seq"][b:]

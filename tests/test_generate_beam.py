@@ -337,3 +337,33 @@ def test_beam_reorder_write_kernel_unit():
                                     beams=beams, interpret=True)
         np.testing.assert_array_equal(np.asarray(ok), expected(ck, nk, idx))
         np.testing.assert_array_equal(np.asarray(ov), expected(cv, nv, idx))
+
+def test_beam_segmented_cache_growth_is_inert():
+    """cache_segments > 1 on the beam path (phase-capped while_loops, the
+    fused-write column mask over the phase's own cache width) must be
+    bit-identical to the single-phase loop — sequences AND scores."""
+    ref = build_reference_model("longitudinal", vocab_size=97, seed=29)
+    cfg = _my_config("longitudinal")
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(9)
+    pixels = rng.randn(2, 2, 3, 64, 64).astype(np.float32)
+    prompt = np.full((2, 6), PAD, dtype=np.int32)
+    prompt[0, :4] = [91, 30, PMT_SEP, BOS]
+    prompt[1, :6] = [91, 31, 32, PMT_SEP, 41, BOS]
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pixels), cfg)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=13, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        mask_token_id=PAD, special_token_ids=(PMT_SEP, BOS, SEP),
+        token_type_sections=(0, 1, 0, 1), num_beams=4,
+    )
+    prompt_j = jnp.asarray(prompt)
+    pmask = (prompt_j != PAD).astype(jnp.int32)
+    outs = {}
+    for spec in (1, "3:4"):
+        seqs, scores = beam_search(
+            variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt_j, pmask,
+            cache_segments=spec,
+        )
+        outs[spec] = (np.asarray(seqs), np.asarray(scores))
+    np.testing.assert_array_equal(outs[1][0], outs["3:4"][0])
+    np.testing.assert_array_equal(outs[1][1], outs["3:4"][1])

@@ -146,3 +146,44 @@ def test_prompt_bucketing_is_inert():
                                    prompt_logits_col=prompt.shape[1] - 1))
     # generated tokens (after each row's prompt region) must match
     np.testing.assert_array_equal(base[:, 7:], bucketed[:, 16:])
+
+def test_segmented_cache_growth_is_inert():
+    """cache_segments > 1 (decode in phases with a narrower KV cache early,
+    zero-padded up between phases) must be bit-identical to the single-phase
+    loop — sequences AND per-step logits (decode.segment_bounds)."""
+    from cxrmate_tpu.generate.decode import segment_bounds
+
+    # unit: bounds ascend, end at p_len+max_new, respect rounding
+    assert segment_bounds(6, 11, 1) == (17,)
+    assert segment_bounds(6, 11, 3, round_to=4) == (12, 16, 17)
+    assert segment_bounds(10, 100, 2) == (64, 110)
+    assert segment_bounds(10, 100, 4, round_to=64) == (64, 110)
+    assert segment_bounds(200, 128, 2) == (320, 328)
+    assert segment_bounds(200, 128, 2, round_to=16) == (272, 328)
+
+    ref = build_reference_model("longitudinal", vocab_size=97, seed=17)
+    cfg = _my_config("longitudinal")
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(8)
+    pixels = rng.randn(2, 2, 3, 64, 64).astype(np.float32)
+    prompt = np.full((2, 7), PAD, dtype=np.int32)
+    prompt[0, :5] = [91, 30, PMT_SEP, 40, BOS]
+    prompt[1, :7] = [91, 31, 32, PMT_SEP, 41, 42, BOS]
+    mask = (prompt != PAD).astype(np.int32)
+
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pixels), cfg)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=13, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        mask_token_id=PAD, special_token_ids=(PMT_SEP, BOS, SEP),
+        token_type_sections=(0, 1, 0, 1),
+    )
+    outs = {}
+    for spec in (1, "4:4"):
+        seq, scores = generate(
+            variables, cfg, gen_cfg, enc_hidden, enc_mask,
+            jnp.asarray(prompt), jnp.asarray(mask),
+            return_scores=True, cache_segments=spec,
+        )
+        outs[spec] = (np.asarray(seq), np.asarray(scores))
+    np.testing.assert_array_equal(outs[1][0], outs["4:4"][0])
+    np.testing.assert_array_equal(outs[1][1], outs["4:4"][1])

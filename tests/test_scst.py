@@ -159,3 +159,46 @@ def test_fused_rollout_matches_separate_decodes():
     )
     np.testing.assert_array_equal(np.asarray(got_sampled), np.asarray(want_sampled))
     np.testing.assert_array_equal(np.asarray(got_base), np.asarray(want_base))
+
+def test_scst_rollout_segmented_cache_growth_is_inert():
+    """cache_segments > 1 on the fused SCST rollout must be bit-identical to
+    the single-phase loop (sampled AND baseline halves)."""
+    from cxrmate_tpu.generate.decode import scst_rollout_decode
+    from cxrmate_tpu.models import encoder_decoder as ed
+
+    config = _config()
+    enc = init_cvt_variables(jax.random.PRNGKey(0), config.encoder)
+    dec = bert_mod.init_bert_params(jax.random.PRNGKey(1), config.decoder, lora=config.lora)
+    variables = {
+        "params": {"encoder": enc["params"], "decoder": dec},
+        "batch_stats": enc["batch_stats"],
+    }
+    gen_sample = GenerationConfig(
+        max_new_tokens=11, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        mask_token_id=PAD, special_token_ids=(BOS, SEP),
+        token_type_sections=(0, 1, 0, 1), do_sample=True, top_k=5,
+    )
+    gen_base = GenerationConfig(
+        max_new_tokens=11, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        mask_token_id=PAD, special_token_ids=(PMT_SEP, BOS, SEP),
+        token_type_sections=(0, 1, 0, 1),
+    )
+    rng = np.random.RandomState(7)
+    pixels = jnp.asarray(rng.randn(2, 2, 3, 32, 32), jnp.float32)
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
+    prompt = np.full((2, 6), PAD, np.int32)
+    prompt[0, :3] = [50, PMT_SEP, BOS]
+    prompt[1, :6] = [50, 51, PMT_SEP, 52, 53, BOS]
+    prompt = jnp.asarray(prompt)
+    pmask = (prompt != PAD).astype(jnp.int32)
+    key = jax.random.PRNGKey(19)
+
+    outs = {}
+    for spec in (1, "3:4"):
+        s, g = scst_rollout_decode(
+            variables, config, gen_sample, gen_base, enc_hidden, enc_mask,
+            prompt, pmask, key, cache_segments=spec,
+        )
+        outs[spec] = (np.asarray(s), np.asarray(g))
+    np.testing.assert_array_equal(outs[1][0], outs["3:4"][0])
+    np.testing.assert_array_equal(outs[1][1], outs["3:4"][1])
