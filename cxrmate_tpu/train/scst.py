@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -91,10 +92,16 @@ def make_scst_step(
         # two separate `generate` calls but with one weight-streaming pass per
         # step instead of two (the dominant cost at the reference's SCST
         # microbatch of 1): full-size SCST step 269 → 184 ms on v5e.
+        # cache_segments defaults to 1 here (NOT the serving "4:32"): the SCST
+        # rollout is weight-streaming-bound, not cache-width-bound, and at the
+        # reference's mbatch 1 segmentation measured 16% SLOWER (167.7 →
+        # 193.9 ms; neutral at b8 — DEVNOTES round 3). Override with
+        # CXRMATE_SCST_CACHE_SEGMENTS for large-batch SCST.
         sampled, baseline = scst_rollout_decode(
             variables, config, gen_cfg_sample, gen_cfg_baseline,
             enc_hidden, enc_mask, prompt_ids, prompt_mask,
             rng if rng is not None else jax.random.PRNGKey(0),
+            cache_segments=os.environ.get("CXRMATE_SCST_CACHE_SEGMENTS", "1"),
         )
         return sampled, baseline, enc_hidden, enc_mask
 
