@@ -439,6 +439,23 @@ def _mid_epoch_schedule(task: TaskConfig, dataset_len: int):
     return None, total_batches
 
 
+def _train_base_rng(trial: int):
+    """Base RNG key for the per-step fold_in(base, global_step) chains.
+
+    CXRMATE_TRAIN_RNG_IMPL selects the generator: "threefry" (default — JAX's
+    counter-based default; with jax_threefry_partitionable its dropout masks
+    are identical under any mesh layout, which the dp/tp loss-identity tests
+    rely on) or "rbg"/"unsafe_rbg" (XLA's hardware RngBitGenerator: reference
+    multi train step 111.3-112.9 vs 122.3 ms, DEVNOTES round 3 — but mask bits are
+    NOT guaranteed invariant across mesh layouts or compiler versions, so
+    cross-mesh loss identity does not hold; the stream is still deterministic
+    for a fixed program, preserving crash-resume reproducibility)."""
+    impl = os.environ.get("CXRMATE_TRAIN_RNG_IMPL", "threefry")
+    if impl == "threefry":
+        return jax.random.PRNGKey(trial)
+    return jax.random.key(trial, impl=impl)
+
+
 def fit(task: TaskConfig, chexbert_fn=None) -> None:
     from cxrmate_tpu.parallel.mesh import place_batch
 
@@ -470,7 +487,7 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
     metrics = make_metrics(task, "val", chexbert_fn=chexbert_fn)
     # per-step keys via fold_in(base, global_step): the dropout stream of a
     # resumed run equals the uninterrupted run's by construction
-    base_rng = jax.random.PRNGKey(task.trial)
+    base_rng = _train_base_rng(task.trial)
 
     def run_validation(state, epoch, step=None, n_batches=None, gstep=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -590,7 +607,7 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
     train_set = make_datasets(task, "train", train=True)
     val_set = make_datasets(task, "validate", train=False)
     metrics = make_metrics(task, "val", chexbert_fn=chexbert_fn)
-    base_rng = jax.random.PRNGKey(task.trial)
+    base_rng = _train_base_rng(task.trial)
     gen_prompt_scst = task.variant == "scst"
 
     # Resume (VERDICT r2 item 2; reference `tools/stages.py:88` resumes every

@@ -12,6 +12,7 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -124,6 +125,18 @@ def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarra
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
+    if os.environ.get("CXRMATE_DROPOUT_MATERIALIZE", "1") == "1":
+        # Force the bool mask to materialise once: without the barrier XLA
+        # re-fuses the threefry bit generation into every consumer of the
+        # masked tensor — on the TF train step the cross-attention mask is
+        # recomputed in 3 separate fwd/bwd fusions per decoder layer, and the
+        # whole step's dropout costs ~15 ms of its 122 ms. Storing
+        # ~1 byte/element and re-reading it is cheaper than recomputing
+        # threefry: reference multi train step 122.3 → 112.9-115.5 ms across
+        # two sessions (A/B in DEVNOTES round 3). Bit-identical (same mask
+        # values), so it is the default; "0" restores XLA's rematerialising
+        # schedule.
+        mask = jax.lax.optimization_barrier(mask)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 

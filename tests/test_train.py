@@ -201,3 +201,56 @@ def test_mixed_precision_step_matches_fp32_closely():
     w16 = np.asarray(state16.params["decoder"]["embeddings"]["word"])
     assert not np.array_equal(w16, np.asarray(variables["params"]["decoder"]["embeddings"]["word"]))
     np.testing.assert_allclose(w16, w32, atol=5e-3)
+
+
+def test_dropout_materialize_barrier_is_bit_identical(monkeypatch):
+    """CXRMATE_DROPOUT_MATERIALIZE wraps the bernoulli mask in an
+    optimization_barrier (a scheduling hint, identity on values): outputs and
+    gradients must be bit-equal with the flag on and off."""
+    from cxrmate_tpu.ops import layers
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 64), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    def fwd_and_grad():
+        # fresh (non-jit-cached) traces so the env flag is re-read
+        y = jax.jit(lambda x: jnp.sum(layers.dropout(x, 0.3, key) ** 2))(x)
+        g = jax.grad(lambda x: jnp.sum(layers.dropout(x, 0.3, key)))(x)
+        return np.asarray(y), np.asarray(g)
+
+    monkeypatch.setenv("CXRMATE_DROPOUT_MATERIALIZE", "1")
+    y_on, g_on = fwd_and_grad()
+    monkeypatch.setenv("CXRMATE_DROPOUT_MATERIALIZE", "0")
+    y_off, g_off = fwd_and_grad()
+    assert np.array_equal(y_on, y_off)
+    assert np.array_equal(g_on, g_off)
+
+
+def test_train_base_rng_impl_knob(monkeypatch):
+    """CXRMATE_TRAIN_RNG_IMPL: default threefry equals PRNGKey(trial); rbg keys
+    drive the same train step (finite loss, params update) with a different,
+    deterministic dropout stream."""
+    from cxrmate_tpu.cli.stages import _train_base_rng
+
+    monkeypatch.delenv("CXRMATE_TRAIN_RNG_IMPL", raising=False)
+    k_default = _train_base_rng(3)
+    assert np.array_equal(
+        jax.random.key_data(jax.random.wrap_key_data(jnp.asarray(k_default))),
+        jax.random.key_data(jax.random.PRNGKey(3)),
+    ) or np.array_equal(np.asarray(k_default), np.asarray(jax.random.PRNGKey(3)))
+
+    monkeypatch.setenv("CXRMATE_TRAIN_RNG_IMPL", "rbg")
+    k_rbg = _train_base_rng(3)
+    config = _tiny_config()
+    variables = _variables(config)
+    tx = optim.adamw(lr=1e-3)
+    state = create_train_state(variables, tx)
+    step = make_train_step(config, tx, pad_id=4)
+    # fold_in(base, global_step) is how the trainer derives per-step keys
+    state, loss1 = step(state, _batch(config), jax.random.fold_in(k_rbg, 0))
+    state, loss2 = step(state, _batch(config), jax.random.fold_in(k_rbg, 1))
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    # deterministic for a fixed program: same key -> same loss
+    state2 = create_train_state(_variables(config), tx)
+    _, loss1b = step(state2, _batch(config), jax.random.fold_in(_train_base_rng(3), 0))
+    assert float(loss1) == float(loss1b)
