@@ -224,6 +224,43 @@ def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=
     return batch / dt, dt
 
 
+def run_train(iters=10):
+    """Reference multi TF train-step timing (mbatch 4×5 images, grad-accum 8,
+    bf16 compute / fp32 masters — `config/train/multi_tf.yaml:8`,
+    `single_tf.yaml:16-17,21`): ms/step and studies/sec/chip. Round-3 healthy:
+    ~113-116 ms (dropout-mask materialisation; DEVNOTES)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.configs import multi_tf_config
+    from cxrmate_tpu.train import tf_trainer
+    from cxrmate_tpu.train.optim import adamw
+
+    mb, n_img, t = 4, 5, 256
+    config = multi_tf_config(vocab_size=30000)
+    variables = build(config, dtype=jnp.float32)
+    tx = adamw(5e-5, accumulate_steps=8)
+    state = tf_trainer.create_train_state(variables, tx)
+    step = tf_trainer.make_train_step(config, tx, compute_dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    batch = {
+        "pixel_values": jnp.asarray(rng.randn(mb, n_img, 3, 384, 384), jnp.float32),
+        "decoder_input_ids": jnp.asarray(rng.randint(5, 29000, (mb, t)), jnp.int32),
+        "decoder_attention_mask": jnp.ones((mb, t), jnp.int32),
+        "decoder_token_type_ids": jnp.zeros((mb, t), jnp.int32),
+        "label_ids": jnp.asarray(rng.randint(5, 29000, (mb, t)), jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    state, loss = step(state, batch, key)  # compile + warm
+    np.asarray(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch, key)
+    np.asarray(loss)  # fence (axon: block_until_ready returns early)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, mb / dt
+
+
 def cpu_baseline():
     """Measure (or load) the CPU studies/sec baseline: one full study at fp32."""
     if os.path.exists(CACHE_FILE):
@@ -312,6 +349,19 @@ def main():
             # distribution is unavailable offline; per-bucket numbers are in config)
             vals = list(long_by_width.values())
             long_sps = sum(vals) / len(vals)
+    train_ms = train_sps = None
+    if os.environ.get("CXRMATE_BENCH_SKIP_TRAIN", "0") != "1":
+        try:
+            train_dt, train_sps = run_train()
+            train_ms = train_dt * 1e3
+            print(
+                f"train: multi TF step mbatch 4x5 images, accum 8, bf16; "
+                f"{train_ms:.1f} ms/step ({train_sps:.1f} studies/s)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
+            print(f"train bench failed: {e}", file=sys.stderr)
+            errors.append(f"train: {type(e).__name__}: {e}")
     print(
         json.dumps(
             {
@@ -328,6 +378,10 @@ def main():
                 ),
                 "longitudinal_beam4_studies_per_sec": (
                     round(long_sps, 3) if long_sps is not None else None
+                ),
+                "train_step_ms": round(train_ms, 1) if train_ms is not None else None,
+                "train_studies_per_sec": (
+                    round(train_sps, 2) if train_sps is not None else None
                 ),
                 "config": {
                     "greedy_batch": BATCH,

@@ -32,6 +32,8 @@ def save_checkpoint(
     n_batches: Optional[int] = None,
     global_step: Optional[int] = None,
     extra_files: Optional[Dict[str, str]] = None,
+    mbatch_size: Optional[int] = None,
+    world_size: Optional[int] = None,
 ) -> str:
     """Save ``state`` for ``epoch``; prune to the top-k by the monitored metric.
     ``step`` tags mid-epoch saves (Lightning's ``epoch=0-step=1567`` naming,
@@ -52,7 +54,10 @@ def save_checkpoint(
         tag += f"-{monitor}={monitor_value:.6f}"
     path = os.path.abspath(_ckpt_dir(exp_dir_trial, tag))
     marker = {"epoch": epoch, "step": step, "n_batches": n_batches,
-              "global_step": global_step if global_step is not None else step}
+              "global_step": global_step if global_step is not None else step,
+              # the loader schedule the in-epoch position is measured in; a
+              # mid-epoch resume is only well-defined under the same schedule
+              "mbatch_size": mbatch_size, "world_size": world_size}
 
     def _write_meta(ckpt_path: str) -> None:
         with open(os.path.join(ckpt_path, "MARKER.json"), "w") as f:
@@ -211,13 +216,15 @@ def get_test_ckpt_path(
 
 def checkpoint_resume_info(path: str) -> Dict[str, Optional[int]]:
     """Trainer position of a checkpoint: ``{'epoch', 'step', 'n_batches',
-    'global_step'}`` from its ``MARKER.json``; legacy checkpoints (pre-marker)
-    fall back to tag parsing (``epoch=E[-step=S]``) with unknown ``n_batches``."""
+    'global_step', 'mbatch_size', 'world_size'}`` from its ``MARKER.json``;
+    legacy checkpoints (pre-marker) fall back to tag parsing
+    (``epoch=E[-step=S]``) with the other fields unknown."""
     marker_path = os.path.join(path, "MARKER.json")
     if os.path.exists(marker_path):
         with open(marker_path) as f:
             info = json.load(f)
-        return {k: info.get(k) for k in ("epoch", "step", "n_batches", "global_step")}
+        return {k: info.get(k) for k in (
+            "epoch", "step", "n_batches", "global_step", "mbatch_size", "world_size")}
     base = os.path.basename(os.path.normpath(path))
     e = re.search(r"epoch=(\d+)", base)
     s = re.search(r"step=(\d+)", base)
@@ -226,6 +233,8 @@ def checkpoint_resume_info(path: str) -> Dict[str, Optional[int]]:
         "step": int(s.group(1)) if s else None,
         "n_batches": None,
         "global_step": int(s.group(1)) if s else None,
+        "mbatch_size": None,
+        "world_size": None,
     }
 
 

@@ -416,15 +416,29 @@ def _resolve_fit_resume(task: TaskConfig, state):
     )
     if not resume_path:
         return state, 0, 0, 0, None
-    state = orbax_io.restore_checkpoint(resume_path, state)
     info = orbax_io.checkpoint_resume_info(resume_path)
+    if info["step"] is not None:  # mid-epoch save — validate BEFORE the restore
+        # the saved in-epoch batch count is measured in the SAVING run's loader
+        # schedule; fast-forwarding under a different mbatch_size/world_size
+        # would silently skip (or re-train) the wrong samples
+        for field, current in (("mbatch_size", task.mbatch_size),
+                               ("world_size", jax.process_count())):
+            saved = info.get(field)
+            if saved is not None and saved != current:
+                raise ValueError(
+                    f"cannot resume mid-epoch checkpoint {resume_path}: it was "
+                    f"saved with {field}={saved} but this run has {field}="
+                    f"{current}; restart with the saving run's {field} (or "
+                    f"resume an epoch-end checkpoint instead)"
+                )
+    state = orbax_io.restore_checkpoint(resume_path, state)
     epoch = info["epoch"]
     if epoch is None:
         epoch = orbax_io.last_checkpoint_epoch(task.exp_dir_trial)
     if epoch is None:
         return state, 0, 0, 0, resume_path
     gstep = info["global_step"] or 0
-    if info["step"] is not None:  # mid-epoch save
+    if info["step"] is not None:
         return state, epoch, info["n_batches"] or 0, gstep, resume_path
     return state, epoch + 1, 0, gstep, resume_path
 
@@ -504,6 +518,7 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
             task.exp_dir_trial, state, epoch, monitor_value,
             monitor=monitor_key or task.monitor, mode=task.monitor_mode, step=step,
             n_batches=n_batches, global_step=gstep,
+            mbatch_size=task.mbatch_size, world_size=jax.process_count(),
         )
 
     # Lightning's val_check_interval < 1: validate + checkpoint every fraction of
@@ -536,7 +551,9 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
             n_batches += 1
             fresh += 1
             global_step += 1
-            if n_batches % 50 == 0 or n_batches == 1:
+            if n_batches % 50 == 0 or n_batches == skip + 1:
+                # skip+1, not 1: a mid-epoch resume starts counting at `skip`,
+                # and the operator still wants a first-step liveness line
                 _log_scalars(task, {"epoch": epoch, "step": n_batches, "train_loss": float(loss)})
             if val_every and n_batches % val_every == 0 and n_batches < total_batches:
                 run_validation(state, epoch, step=global_step, n_batches=n_batches,
@@ -616,9 +633,16 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
     # earlier in that epoch is restored from the checkpoint sidecar, and the
     # epoch's subject→lane allocation is reconstructed from its seed.
     state, start_epoch, skip_batches, global_step, resume_path = _resolve_fit_resume(task, state)
+    # per-rank sidecar: in multi-process runs every rank writes into the same
+    # checkpoint dir, and each rank's generated-prompt history covers only ITS
+    # rank-strided lanes — a shared filename would keep the last writer's only
+    history_sidecar = f"scst_history.rank{jax.process_index()}.json"
     resume_history = None
     if resume_path and skip_batches and gen_prompt_scst:
-        blob = orbax_io.checkpoint_extra_file(resume_path, "scst_history.json")
+        blob = orbax_io.checkpoint_extra_file(resume_path, history_sidecar)
+        if blob is None and jax.process_index() == 0:
+            # legacy (pre-per-rank) single-process checkpoints
+            blob = orbax_io.checkpoint_extra_file(resume_path, "scst_history.json")
         if blob is not None:
             import json as _json
 
@@ -639,11 +663,12 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
         if gen_prompt_scst and step is not None:
             import json as _json
 
-            extra_files = {"scst_history.json": _json.dumps(train_set.export_generated())}
+            extra_files = {history_sidecar: _json.dumps(train_set.export_generated())}
         orbax_io.save_checkpoint(
             task.exp_dir_trial, state, epoch, monitor_value,
             monitor=monitor_key or task.monitor, mode=task.monitor_mode, step=step,
             n_batches=n_batches, global_step=gstep, extra_files=extra_files,
+            mbatch_size=task.mbatch_size, world_size=jax.process_count(),
         )
 
     for epoch in range(start_epoch, task.max_epochs):

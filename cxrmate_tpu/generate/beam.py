@@ -24,6 +24,7 @@ from cxrmate_tpu.generate.decode import (
     grow_cache,
     resolve_cache_segments,
     segment_bounds,
+    segmented_while,
 )
 from cxrmate_tpu.models import bert as bert_mod
 from cxrmate_tpu.models import encoder_decoder as ed
@@ -39,10 +40,48 @@ def _gather_beams(tensor, beam_indices):
     return jnp.take_along_axis(tensor, idx.astype(jnp.int32), axis=1)
 
 
+def resolve_write_mode(write_mode: Optional[str]) -> str:
+    """Resolve the beam self-KV write strategy (trace-time static): explicit
+    value, else ``CXRMATE_BEAM_WRITE`` (default 'fused' — the measured-fastest
+    formulation, DEVNOTES round 3)."""
+    if write_mode is None:
+        import os
+
+        write_mode = os.environ.get("CXRMATE_BEAM_WRITE", "fused")
+    assert write_mode in ("fused", "dus", "pallas"), write_mode
+    return write_mode
+
+
+def beam_search(
+    variables,
+    config: EncoderDecoderConfig,
+    gen_cfg: GenerationConfig,
+    encoder_hidden: jnp.ndarray,
+    encoder_mask: jnp.ndarray,
+    prompt_ids: jnp.ndarray,
+    prompt_mask: jnp.ndarray,
+    prompt_logits_col: Optional[int] = None,
+    write_mode: Optional[str] = None,
+    cache_segments: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Public entry for beam-search decode — see ``_beam_search`` for the full
+    argument docs. Resolves the env-dependent static knobs (``write_mode`` →
+    ``CXRMATE_BEAM_WRITE``, ``cache_segments`` → ``CXRMATE_CACHE_SEGMENTS``) at
+    CALL time, outside jit, so the jit cache is keyed on the RESOLVED values:
+    changing the env between calls in one process takes effect instead of
+    silently reusing the trace cached under ``None``."""
+    return _beam_search(
+        variables, config, gen_cfg, encoder_hidden, encoder_mask,
+        prompt_ids, prompt_mask, prompt_logits_col,
+        write_mode=resolve_write_mode(write_mode),
+        cache_segments=resolve_cache_segments(cache_segments),
+    )
+
+
 # prompt_logits_col is NOT static — see generate(): a static column would
 # recompile per distinct true prompt width despite the width bucketing
 @partial(jax.jit, static_argnames=("config", "gen_cfg", "write_mode", "cache_segments"))
-def beam_search(
+def _beam_search(
     variables,
     config: EncoderDecoderConfig,
     gen_cfg: GenerationConfig,
@@ -74,8 +113,8 @@ def beam_search(
         reorder + column write is the IN-PLACE Pallas kernel
         (ops/beam_reorder.py, ``input_output_aliases``) — no while-carry
         double-buffer copy of the cache (~1.6 ms/step at longitudinal b24).
-    Resolved from ``CXRMATE_BEAM_WRITE`` at trace time when None — pass
-    explicitly to override after a cached trace.
+    The public ``beam_search`` wrapper resolves ``CXRMATE_BEAM_WRITE`` at call
+    time, so env changes between calls take effect (no stale cached trace).
 
     ``cache_segments``: segmented cache growth — decode in N phases with a
     narrower self-KV cache early, zero-padding it up between phases
@@ -334,14 +373,15 @@ def beam_search(
     # remove them (XLA still places the conditional's outputs in fresh buffers)
     # and ballooned compile time ~4× through the remote-compile tunnel — keep
     # the single-step loop.
-    carry = jax.lax.while_loop(cond, body, (state, all_hit0))
-    for nb in bounds[1:]:
-        # next phase: widen the cache (exact — new columns are key-masked) and
-        # re-enter the same loop body at the larger static width. If decoding
-        # already stopped, the loop no-ops and we pay only the pad copy.
-        state, all_hit = carry
-        state = state[:6] + (grow_cache(state[6], nb), state[7])
-        carry = jax.lax.while_loop(cond, body, (state, all_hit))
+    carry = segmented_while(
+        cond, body, (state, all_hit0), bounds,
+        lambda c, nb: (c[0][:6] + (grow_cache(c[0][6], nb), c[0][7]), c[1]),
+    )
     state, _ = carry
     seq, running_scores, fin_seq, fin_scores, is_fin, early_unsat, cache, cur = state
     return fin_seq[:, 0, :], fin_scores[:, 0]
+
+
+# jit-cache introspection passthrough (the compile-count regression tests key
+# on it; the public wrapper is a plain function)
+beam_search._cache_size = _beam_search._cache_size

@@ -80,6 +80,9 @@ def resolve_cache_segments(cache_segments) -> Tuple[int, int]:
     bit-exact, so the default needs no accuracy caveat (inertness tests in
     tests/test_generate_{greedy,beam}.py, test_scst.py).
     See ``segment_bounds`` for what segmentation buys."""
+    if isinstance(cache_segments, tuple):  # already resolved (idempotent)
+        assert len(cache_segments) == 2, cache_segments
+        return cache_segments
     if cache_segments is None:
         import os
 
@@ -93,6 +96,23 @@ def resolve_cache_segments(cache_segments) -> Tuple[int, int]:
             cache_segments = int(cache_segments)
     assert cache_segments >= 1 and round_to >= 1, (cache_segments, round_to)
     return cache_segments, round_to
+
+
+def segmented_while(cond, body, carry, bounds, grow):
+    """Phase-capped decode loop over each segment width — the shared epilogue
+    of ``generate`` / ``scst_rollout_decode`` / ``beam_search`` (one place, so
+    the phase rule cannot drift between the three loops).
+
+    ``cond`` must cap on the CURRENT cache width in ``carry``, so each
+    ``while_loop`` exhausts its phase; ``grow(carry, new_bound)`` widens the
+    cache to the next phase's static width (exact — the new columns are
+    key-masked zeros, see ``grow_cache``) and the SAME body re-enters at the
+    larger width. If decoding already stopped, the re-entered loop no-ops and
+    only the boundary pad copy is paid (~one step's cache traffic)."""
+    carry = jax.lax.while_loop(cond, body, carry)
+    for nb in bounds[1:]:
+        carry = jax.lax.while_loop(cond, body, grow(carry, nb))
+    return carry
 
 
 def segment_bounds(p_len: int, max_new: int, segments: int, round_to: int = 64) -> Tuple[int, ...]:
@@ -153,6 +173,36 @@ def _type_from_present(present: jnp.ndarray, gen_cfg: GenerationConfig) -> jnp.n
     return out
 
 
+def generate(
+    variables,
+    config: EncoderDecoderConfig,
+    gen_cfg: GenerationConfig,
+    encoder_hidden: jnp.ndarray,
+    encoder_mask: jnp.ndarray,
+    prompt_ids: jnp.ndarray,
+    prompt_mask: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    *,
+    max_new_tokens_pad: Optional[int] = None,
+    return_scores: bool = False,
+    use_fused: bool = False,
+    prompt_logits_col: Optional[int] = None,
+    cache_segments: Optional[int] = None,
+):
+    """Public entry for greedy/sampled decoding — see ``_generate`` for the full
+    argument docs. Resolves the env-dependent static knob (``cache_segments`` →
+    ``CXRMATE_CACHE_SEGMENTS``) at CALL time, outside jit, so the jit cache is
+    keyed on the RESOLVED value: changing the env between calls in one process
+    takes effect instead of silently reusing the trace cached under ``None``."""
+    return _generate(
+        variables, config, gen_cfg, encoder_hidden, encoder_mask,
+        prompt_ids, prompt_mask, rng,
+        max_new_tokens_pad=max_new_tokens_pad, return_scores=return_scores,
+        use_fused=use_fused, prompt_logits_col=prompt_logits_col,
+        cache_segments=resolve_cache_segments(cache_segments),
+    )
+
+
 @functools.partial(
     jax.jit,
     # prompt_logits_col is deliberately NOT static: the CLI test stage buckets
@@ -164,7 +214,7 @@ def _type_from_present(present: jnp.ndarray, gen_cfg: GenerationConfig) -> jnp.n
         "cache_segments",
     ),
 )
-def generate(
+def _generate(
     variables,
     config: EncoderDecoderConfig,
     gen_cfg: GenerationConfig,
@@ -325,22 +375,42 @@ def generate(
             )
         return out
 
-    state = jax.lax.while_loop(cond, body, state)
-    for nb in bounds[1:]:
-        # next phase: widen the cache (exact — new columns are masked zeros)
-        # and re-enter the same loop body at the larger static width. If every
-        # row already finished, the loop no-ops and we pay only the pad copy.
-        state = dict(state, cache=grow_cache(state["cache"], nb))
-        state = jax.lax.while_loop(cond, body, state)
+    state = segmented_while(
+        cond, body, state, bounds,
+        lambda s, nb: dict(s, cache=grow_cache(s["cache"], nb)),
+    )
     if return_scores:
         return state["seq"], state["scores"]
     return state["seq"]
 
 
+def scst_rollout_decode(
+    variables,
+    config: EncoderDecoderConfig,
+    cfg_sample: GenerationConfig,
+    cfg_base: GenerationConfig,
+    encoder_hidden: jnp.ndarray,
+    encoder_mask: jnp.ndarray,
+    prompt_ids: jnp.ndarray,
+    prompt_mask: jnp.ndarray,
+    rng: jax.Array,
+    cache_segments=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Public entry for the fused SCST rollout — see ``_scst_rollout_decode``.
+    Resolves ``cache_segments`` (env ``CXRMATE_SCST_CACHE_SEGMENTS`` handling
+    lives in train/scst.py; ``None`` here reads ``CXRMATE_CACHE_SEGMENTS``)
+    at call time so the jit cache keys on the resolved value."""
+    return _scst_rollout_decode(
+        variables, config, cfg_sample, cfg_base, encoder_hidden, encoder_mask,
+        prompt_ids, prompt_mask, rng,
+        cache_segments=resolve_cache_segments(cache_segments),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "cfg_sample", "cfg_base", "cache_segments")
 )
-def scst_rollout_decode(
+def _scst_rollout_decode(
     variables,
     config: EncoderDecoderConfig,
     cfg_sample: GenerationConfig,
@@ -484,8 +554,8 @@ def scst_rollout_decode(
             "cur": s["cur"] + 1, "finished": finished, "cache": cache, "rng": rng_next,
         }
 
-    state = jax.lax.while_loop(cond, body, state)
-    for nb in bounds[1:]:
-        state = dict(state, cache=grow_cache(state["cache"], nb))
-        state = jax.lax.while_loop(cond, body, state)
+    state = segmented_while(
+        cond, body, state, bounds,
+        lambda s, nb: dict(s, cache=grow_cache(s["cache"], nb)),
+    )
     return state["seq"][:b], state["seq"][b:]

@@ -64,11 +64,14 @@ def encode_images(
         import os
 
         use_flash = os.environ.get("CXRMATE_FLASH_ENCODE", "0") == "1"
+    # the Mosaic kernel only lowers on TPU; everywhere else (the CPU dev/test
+    # box) fall back to interpret mode so the env knob never crashes a run
+    flash_interpret = use_flash and jax.default_backend() != "tpu"
     params, stats = variables["params"]["encoder"], variables["batch_stats"]
     if config.variant == "single":
         hidden, new_stats = cvt_encode(
             params, stats, pixel_values, config.encoder, train=train, rng=rng, remat=remat,
-            use_flash=use_flash,
+            use_flash=use_flash, flash_interpret=flash_interpret,
         )
         mask = jnp.ones(hidden.shape[:2], dtype=jnp.int32)
         return hidden, mask, new_stats
@@ -76,7 +79,7 @@ def encode_images(
     flat = pixel_values.reshape((b * n,) + pixel_values.shape[2:])
     hidden, new_stats = cvt_encode(
         params, stats, flat, config.encoder, train=train, rng=rng, remat=remat,
-        use_flash=use_flash,
+        use_flash=use_flash, flash_interpret=flash_interpret,
     )
     tokens_per = hidden.shape[1]
     hidden = hidden.reshape(b, n * tokens_per, hidden.shape[-1])

@@ -628,8 +628,20 @@ def test_fit_scst_mid_epoch_resume_equals_uninterrupted(synthetic_dataset, monke
     last = orbax_io.last_checkpoint(crash.exp_dir_trial)
     info = orbax_io.checkpoint_resume_info(last)
     assert info["step"] is not None
-    # the sidecar history snapshot exists for gen-prompt SCST
-    assert orbax_io.checkpoint_extra_file(last, "scst_history.json") is not None
+    # the sidecar history snapshot exists for gen-prompt SCST (per-rank name:
+    # each process's history covers only its rank-strided lanes)
+    assert orbax_io.checkpoint_extra_file(last, "scst_history.rank0.json") is not None
+    # the marker records the loader schedule the in-epoch position is measured in
+    assert info["mbatch_size"] == 1 and info["world_size"] == 1
+
+    # resuming a mid-epoch save under a different mbatch_size must refuse
+    # (the saved batch count is meaningless in another schedule); the guard
+    # fires in _resolve_fit_resume BEFORE the checkpoint restore, so no state
+    # template is needed
+    bad = _task(root, "scst", trial=12, exp_dir=str(root / "exp_scst_crash"),
+                resume_last=True, **{**common, "mbatch_size": 2})
+    with pytest.raises(ValueError, match="mbatch_size"):
+        stages._resolve_fit_resume(bad, state=None)
 
     resumed = _task(root, "scst", trial=12, exp_dir=str(root / "exp_scst_crash"),
                     resume_last=True, **common)

@@ -367,3 +367,33 @@ def test_beam_segmented_cache_growth_is_inert():
         outs[spec] = (np.asarray(seqs), np.asarray(scores))
     np.testing.assert_array_equal(outs[1][0], outs["3:4"][0])
     np.testing.assert_array_equal(outs[1][1], outs["3:4"][1])
+
+
+def test_env_knobs_resolved_at_call_time(monkeypatch):
+    """CXRMATE_CACHE_SEGMENTS is resolved OUTSIDE jit, per call: changing the
+    env between calls in one process must key a fresh trace (not silently reuse
+    the one cached under cache_segments=None) and — segmentation being
+    bit-exact — produce identical sequences and scores."""
+    ref = build_reference_model("multi", vocab_size=97, seed=23)
+    cfg = _my_config("multi")
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(9)
+    pixels = rng.randn(2, 2, 3, 64, 64).astype(np.float32)
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pixels), cfg)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=12,
+        bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        special_token_ids=(SEP,), num_beams=2,
+    )
+    prompt = jnp.full((2, 1), BOS, jnp.int32)
+    pmask = jnp.ones((2, 1), jnp.int32)
+
+    monkeypatch.setenv("CXRMATE_CACHE_SEGMENTS", "1")
+    seq1, sc1 = beam_search(variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt, pmask)
+    n1 = beam_search._cache_size()
+    monkeypatch.setenv("CXRMATE_CACHE_SEGMENTS", "2:4")
+    seq2, sc2 = beam_search(variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt, pmask)
+    n2 = beam_search._cache_size()
+    assert n2 == n1 + 1, "env change did not produce a fresh trace"
+    np.testing.assert_array_equal(np.asarray(seq1), np.asarray(seq2))
+    np.testing.assert_array_equal(np.asarray(sc1), np.asarray(sc2))

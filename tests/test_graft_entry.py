@@ -25,6 +25,7 @@ def test_bench_json_contract(monkeypatch, capsys):
     import bench
 
     monkeypatch.setattr(bench, "run", lambda *a, **k: (42.0, 1.0))
+    monkeypatch.setattr(bench, "run_train", lambda *a, **k: (0.115, 34.8))
     monkeypatch.setattr(bench, "cpu_baseline", lambda: 0.05)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     bench.main()
@@ -33,9 +34,11 @@ def test_bench_json_contract(monkeypatch, capsys):
     for key in ("metric", "value", "unit", "vs_baseline", "beam4_studies_per_sec",
                 "beam4_ref_batch_studies_per_sec",
                 "longitudinal_beam4_studies_per_sec",
+                "train_step_ms", "train_studies_per_sec",
                 "p50_study_latency_ms", "config"):
         assert key in data, key
     assert data["unit"] == "studies/sec" and data["value"] == 42.0
+    assert data["train_step_ms"] == 115.0
     assert "errors" not in data
     assert data["config"]["longitudinal_beam4_by_prompt_width"] is not None
 
@@ -55,6 +58,7 @@ def test_bench_json_reports_section_failures(monkeypatch, capsys):
         return (42.0, 1.0)
 
     monkeypatch.setattr(bench, "run", flaky_run)
+    monkeypatch.setattr(bench, "run_train", lambda *a, **k: (0.115, 34.8))
     monkeypatch.setattr(bench, "cpu_baseline", lambda: 0.05)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     with pytest.raises(SystemExit) as exc:
