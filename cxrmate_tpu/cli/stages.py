@@ -64,10 +64,19 @@ def build_model_config(task: TaskConfig, vocab_size: int) -> model_configs.Encod
             max_images_per_study=task.max_images_per_study,
         )
     if variant == "single":
-        return model_configs.single_tf_config(vocab_size)
-    if variant == "multi":
-        return model_configs.multi_tf_config(vocab_size)
-    return model_configs.longitudinal_config(vocab_size)
+        cfg = model_configs.single_tf_config(vocab_size)
+    elif variant == "multi":
+        cfg = model_configs.multi_tf_config(vocab_size)
+    else:
+        cfg = model_configs.longitudinal_config(vocab_size)
+    # thread the task's data-shape fields through (the tiny preset already
+    # does): otherwise a YAML decoder_max_len/image_size override would apply
+    # to the task's decode budgets but not the model config's TF tokenisation,
+    # silently training and testing under different length budgets
+    return dataclasses.replace(
+        cfg, image_size=task.image_size, decoder_max_len=task.decoder_max_len,
+        max_images_per_study=task.max_images_per_study,
+    )
 
 
 def mesh_from_task(task: TaskConfig):
@@ -304,17 +313,28 @@ def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: i
     return seqs, findings, impression
 
 
+
+def _collate_max_images(task: TaskConfig):
+    """Image-slot count for the collate pad: the single variant is per-DICOM
+    (exactly one image per example — [B, 1, 3, H, W], squeezed at the model
+    boundary), every other variant pads to max_images_per_study."""
+    return None if task.variant == "single" else task.max_images_per_study
+
 def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: Dict,
              num_beams: int, epoch: int, loggers=(), mesh=None):
     if getattr(dataset, "use_generated", False):
         # generated-prompt datasets read history written back during consumption —
         # never prefetch or parallel-decode them (reference: num_workers=0,
-        # gen_prompt.py:66-82)
-        it = batch_iterator(dataset, task.mbatch_size, max_images=task.max_images_per_study)
+        # gen_prompt.py:66-82), and never rank-stride them (a subject's earlier
+        # study must be decoded before its later one is prompted, on one rank)
+        it = batch_iterator(dataset, task.mbatch_size, max_images=_collate_max_images(task))
     else:
+        # rank-strided like the train loader: each process decodes its share
+        # and _gather_rows reassembles (single-process runs are unaffected)
         it = Prefetcher(
-            batch_iterator(dataset, task.mbatch_size, max_images=task.max_images_per_study,
-                           num_workers=task.num_workers)
+            batch_iterator(dataset, task.mbatch_size, max_images=_collate_max_images(task),
+                           num_workers=task.num_workers,
+                           rank=jax.process_index(), world_size=jax.process_count())
         )
     for batch in it:
         with annotate("decode"):
@@ -392,7 +412,11 @@ def resolve_monitor(scores: Dict, monitor: str) -> Tuple[Optional[float], Option
 
 def _log_scalars(task: TaskConfig, record: Dict) -> None:
     """Append a JSON line to the trial's metrics log (the reference's log_dict
-    stream, without the Lightning logger)."""
+    stream, without the Lightning logger). Rank-0 only: in multi-process runs
+    every rank computes the same gathered scores, and each would otherwise
+    append a duplicate line to the shared file."""
+    if jax.process_index() != 0:
+        return
     import json
     from pathlib import Path
 
@@ -532,7 +556,7 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
         it = Prefetcher(
             batch_iterator(
                 train_set, task.mbatch_size, shuffle=True, seed=epoch,
-                max_images=task.max_images_per_study, drop_last=True,
+                max_images=_collate_max_images(task), drop_last=True,
                 rank=jax.process_index(), world_size=jax.process_count(),
                 num_workers=task.num_workers, skip_batches=skip,
             )
@@ -687,7 +711,7 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
             # order (scst/gen_prompt.py:118); lanes were packed per rank×mbatch slot.
             # No prefetch: __getitem__ reads history written back after each step
             # (the reference's num_workers=0 loaders, gen_prompt.py:66-82).
-            it = batch_iterator(train_set, task.mbatch_size, max_images=task.max_images_per_study,
+            it = batch_iterator(train_set, task.mbatch_size, max_images=_collate_max_images(task),
                                 drop_last=True, rank=jax.process_index(),
                                 world_size=jax.process_count(), skip_batches=skip)
         else:
@@ -695,7 +719,7 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
             # scst/gt_prompt.py:8 — no sampler/history overrides)
             it = Prefetcher(
                 batch_iterator(train_set, task.mbatch_size, shuffle=True, seed=epoch,
-                               max_images=task.max_images_per_study, drop_last=True,
+                               max_images=_collate_max_images(task), drop_last=True,
                                rank=jax.process_index(), world_size=jax.process_count(),
                                skip_batches=skip)
             )
@@ -766,9 +790,17 @@ def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) ->
         path = orbax_io.get_test_ckpt_path(
             task.exp_dir_trial, task.monitor_mode, task.test_epoch, task.test_ckpt_path
         )
-        if path:
-            state = orbax_io.restore_checkpoint(path, None)
-            variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+        if not path:
+            # never silently score random weights (the reference's
+            # load_from_checkpoint(None) errors here too); fast_dev_run is the
+            # sanctioned no-checkpoint smoke path
+            raise FileNotFoundError(
+                f"--test found no checkpoint under {task.exp_dir_trial} "
+                f"(train first, pass test_ckpt_path/test_ckpt_name, or use "
+                f"fast_dev_run for an untrained smoke run)"
+            )
+        state = orbax_io.restore_checkpoint(path, None)
+        variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
     variables = shard_for_mesh(variables, mesh, task)
     test_set = make_datasets(task, "test", train=False)
     metrics = make_metrics(task, "test", reward_fn=reward_fn, chexbert_fn=chexbert_fn,
@@ -896,6 +928,16 @@ def main(argv=None):
     task = parse_args(argv)
     chexbert_fn = _optional(build_chexbert_fn, task)
     if getattr(task, "_train", False):
+        if task.variant == "gen_prompt":
+            # the reference's GeneratedPrompt is test-only (gen_prompt.py:33-34
+            # raises 'Only testing can be performed'): its dataset prompts from
+            # history generated DURING evaluation; training it is undefined
+            # (the trainable generated-prompt task is `scst`)
+            raise ValueError(
+                "variant 'gen_prompt' is test-only (the reference raises the "
+                "same); train with 'gt_prompt' (teacher-forced) or 'scst' "
+                "(self-generated prompts + CXR-BERT reward) instead"
+            )
         if task.variant in ("scst", "scst_gt"):
             fit_scst(task, build_cxrbert_reward(task), chexbert_fn=chexbert_fn)
         else:

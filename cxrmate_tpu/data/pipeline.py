@@ -107,15 +107,17 @@ class Prefetcher:
         except BaseException as e:  # propagate to the consumer
             self._error = e
         finally:
-            while True:
+            # bounded put, same as real items — NEVER displace a queued batch
+            # to make room for the sentinel (that silently dropped one batch
+            # per epoch whenever the consumer was slower than the loader). If
+            # the consumer abandoned us (_stop set), nobody reads the sentinel
+            # and close() drains the queue.
+            while not self._stop.is_set():
                 try:
-                    self.queue.put_nowait(self._done)
+                    self.queue.put(self._done, timeout=0.1)
                     break
                 except queue.Full:
-                    try:
-                        self.queue.get_nowait()
-                    except queue.Empty:
-                        pass
+                    continue
 
     def close(self):
         """Stop the producer and release its resources (inner generator + its

@@ -252,6 +252,14 @@ def _generate(
     assert gen_cfg.num_beams == 1
     params = variables["params"]["decoder"]
     dcfg = config.decoder
+    fused_prepared = None
+    if use_fused and config.lora is None:
+        # head-major weight views for the fused kernel, built ONCE here; the
+        # while-loop body closes over them as loop-invariant inputs instead of
+        # re-transposing every layer's q/k/v weights each decode step
+        from cxrmate_tpu.ops.fused_decode import prepare_fused_params
+
+        fused_prepared = prepare_fused_params(params, dcfg.num_attention_heads)
     b, p_len = prompt_ids.shape
     max_new = gen_cfg.max_new_tokens if max_new_tokens_pad is None else max_new_tokens_pad
     t_total = p_len + max_new
@@ -346,7 +354,7 @@ def _generate(
         logits, cache = bert_mod.bert_step(
             params, dcfg, s["cache"], q_tok, ttype, pos, i,
             s["key_mask"][:, :t_cap], encoder_mask,
-            lora=config.lora, use_fused=use_fused,
+            lora=config.lora, use_fused=use_fused, fused_prepared=fused_prepared,
         )
         rng_step, rng_next = jax.random.split(s["rng"])
         tok, step_scores = select_token(logits, rng_step)

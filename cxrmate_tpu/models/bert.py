@@ -368,6 +368,7 @@ def bert_step(
     *,
     lora: Optional[LoraConfig] = None,
     use_fused: bool = False,
+    fused_prepared: Optional[list] = None,
     deferred_write: bool = False,
 ) -> Tuple[jnp.ndarray, DecodeCache]:
     """One decode step: token at dynamic position ``index``.
@@ -407,6 +408,9 @@ def bert_step(
             h, self_k[i], self_v[i] = fused_layer_step_v2(
                 h, layer, self_k[i], self_v[i], cache.cross_k[i], cache.cross_v[i],
                 index, key_mask, encoder_attention_mask, eps=config.layer_norm_eps,
+                # per-layer head-major views, built ONCE per generate call by
+                # the caller (fused_decode's contract) — not rebuilt per step
+                prepared=fused_prepared[i] if fused_prepared is not None else None,
             )
         logits = bert_lm_head(params, h[:, None, :])
         return logits[:, 0, :], DecodeCache(

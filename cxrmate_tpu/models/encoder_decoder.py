@@ -69,6 +69,11 @@ def encode_images(
     flash_interpret = use_flash and jax.default_backend() != "tpu"
     params, stats = variables["params"]["encoder"], variables["batch_stats"]
     if config.variant == "single":
+        if pixel_values.ndim == 5:
+            # the CLI collate stacks every variant to [B, N, 3, H, W]; the
+            # single variant's dataset yields exactly one real image per
+            # example (any extra slots are all-zero padding) — take slot 0
+            pixel_values = pixel_values[:, 0]
         hidden, new_stats = cvt_encode(
             params, stats, pixel_values, config.encoder, train=train, rng=rng, remat=remat,
             use_flash=use_flash, flash_interpret=flash_interpret,

@@ -177,13 +177,3 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     """[B, H, T, Dh] -> [B, T, D]"""
     b, h, t, dh = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
-
-
-NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min)
-
-
-def extended_attention_mask(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """[..., K] {0,1} mask -> additive mask with torch's ``(1-m) * finfo.min``."""
-    m = mask.astype(jnp.float32)
-    neg = jnp.finfo(jnp.float32).min if dtype == jnp.float32 else jnp.finfo(dtype).min
-    return ((1.0 - m) * neg).astype(jnp.float32)

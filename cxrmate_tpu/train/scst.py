@@ -80,6 +80,15 @@ def make_scst_step(
 
         return cast_floats(tree, compute_dtype)
 
+    # resolve the env knob HERE, outside jit, so it is a concrete static value
+    # when the trace is built (an os.environ read inside the jitted body would
+    # be frozen into the first trace and silently ignore later env changes)
+    from cxrmate_tpu.generate.decode import resolve_cache_segments
+
+    scst_cache_segments = resolve_cache_segments(
+        os.environ.get("CXRMATE_SCST_CACHE_SEGMENTS", "1")
+    )
+
     @jax.jit
     def rollout(variables, pixels, prompt_ids, prompt_mask, rng):
         variables = _cast(variables)
@@ -101,7 +110,7 @@ def make_scst_step(
             variables, config, gen_cfg_sample, gen_cfg_baseline,
             enc_hidden, enc_mask, prompt_ids, prompt_mask,
             rng if rng is not None else jax.random.PRNGKey(0),
-            cache_segments=os.environ.get("CXRMATE_SCST_CACHE_SEGMENTS", "1"),
+            cache_segments=scst_cache_segments,
         )
         return sampled, baseline, enc_hidden, enc_mask
 

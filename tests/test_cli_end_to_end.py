@@ -775,3 +775,51 @@ def test_mesh_rejects_multihost(monkeypatch, tmp_path):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     with pytest.raises(AssertionError, match="single-process"):
         mesh_from_task(task)
+
+
+def test_fit_and_test_single_variant(synthetic_dataset):
+    """The single (per-DICOM) variant end-to-end: the CLI collate stacks to
+    [B, 1, 3, H, W] and the model boundary squeezes it — a max-images padded
+    stack must not crash the 4-D single encoder (review r3 finding)."""
+    root = synthetic_dataset
+    task = _task(root, "single", exp_dir=str(root / "exp_single_e2e"))
+    fit(task)
+    ckpts = glob.glob(os.path.join(task.exp_dir_trial, "checkpoints", "epoch=*"))
+    assert ckpts, "no checkpoint written"
+    scores = run_test_stage(task)
+    assert any("bleu_1" in k for k in scores)
+    # single accumulates over DICOMs: the NLG battery reports per-study counts
+    assert scores.get("test_report_nlg_num_study_ids", 0) > 0
+
+
+def test_train_rejects_gen_prompt_variant(synthetic_dataset):
+    """gen_prompt is test-only (the reference's GeneratedPrompt.setup raises
+    'Only testing can be performed', gen_prompt.py:33-34) — --train must refuse
+    up front, not crash deep in the history-dependent loader."""
+    from cxrmate_tpu.cli import stages
+
+    root = synthetic_dataset
+    cfg = root / "gen_prompt_train.yaml"
+    cfg.write_text(
+        "defaults: []\n"
+        "variant: gen_prompt\n"
+        "model_preset: tiny\n"
+        "image_size: 32\n"
+        "decoder_max_len: 24\n"
+        "monitor: val_report_nlg_bleu_1\n"
+        f"dataset_dir: {root / 'datasets'}\n"
+        f"ckpt_zoo_dir: {root / 'checkpoints'}\n"
+        f"exp_dir: {root / 'exp_gen_prompt_train'}\n"
+    )
+    with pytest.raises(ValueError, match="test-only"):
+        stages.main(["--config", str(cfg), "--train"])
+
+
+def test_test_stage_refuses_missing_checkpoint(synthetic_dataset):
+    """--test with no resolvable checkpoint must raise, never silently score
+    random weights (review r3 finding; the reference's load_from_checkpoint
+    errors the same way)."""
+    root = synthetic_dataset
+    task = _task(root, "multi", exp_dir=str(root / "exp_never_trained"))
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        run_test_stage(task)

@@ -103,3 +103,21 @@ def test_train_transform_rng_independent_of_thread_schedule(tmp_path):
     load.set_epoch(1)
     epoch1 = [load(p) for p in paths]
     assert any(not np.array_equal(a, b) for a, b in zip(serial, epoch1))
+
+
+def test_prefetcher_slow_consumer_receives_every_batch():
+    """The end-of-iterator sentinel must never displace a queued real batch:
+    with a consumer slower than the producer (queue full when the iterator
+    finishes), every produced batch still arrives, in order."""
+    import time
+
+    from cxrmate_tpu.data.pipeline import Prefetcher
+
+    n = 12  # > queue depth (5) so the queue is saturated at producer finish
+    pf = Prefetcher(iter(range(n)))
+    time.sleep(0.3)  # let the producer fill the queue and hit the sentinel path
+    got = []
+    for item in pf:
+        time.sleep(0.02)  # slow consumer
+        got.append(item)
+    assert got == list(range(n))
