@@ -70,6 +70,20 @@ class TaskConfig:
     trial: int = 0
 
     max_images_per_study: int = 5
+    # image-slot padding for the collate: "batch" pads each batch to its own max
+    # image count (the reference's pad_sequence semantics, multi.py:155-164 —
+    # fewer encoder FLOPs and a narrower cross-KV cache, the decode step's
+    # dominant streaming cost); "max" pads every batch to max_images_per_study
+    # (one static shape → one XLA program per stage, for compile-count-sensitive
+    # runs). Exactness: padded slots are all-zero images whose cross columns are
+    # masked to exactly-0.0 softmax weights, so outputs are identical either way
+    # (tests/test_generate_{greedy,beam}.py::test_image_pad*_is_inert).
+    pad_images: str = "batch"
+    # iterate eval/test splits in image-count order (stable sort) so batches are
+    # image-slot homogeneous under pad_images: "batch"; per-study outputs are
+    # iteration-order-invariant. False restores dataset order. (Never applied to
+    # generated-prompt datasets — their history threading fixes the order.)
+    eval_sort_by_images: bool = True
     decoder_max_len: int = 256
     num_test_beams: int = 4
     sections_to_evaluate: tuple = ("report",)

@@ -315,10 +315,28 @@ def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: i
 
 
 def _collate_max_images(task: TaskConfig):
-    """Image-slot count for the collate pad: the single variant is per-DICOM
+    """Image-slot count for the collate pad. The single variant is per-DICOM
     (exactly one image per example — [B, 1, 3, H, W], squeezed at the model
-    boundary), every other variant pads to max_images_per_study."""
-    return None if task.variant == "single" else task.max_images_per_study
+    boundary). For the study-level variants ``task.pad_images`` selects:
+
+      * "batch" (default): pad to the batch's own max image count — the
+        reference's ``pad_sequence`` semantics (multi.py:155-164). Encoder conv
+        FLOPs and the cross-KV cache width (the decode step's dominant
+        streaming cost, DEVNOTES round 3) scale with the slot count, so
+        1-2-image studies stop paying the 5-slot price; each distinct count
+        compiles its own XLA program (≤ max_images_per_study of them).
+      * "max": pad to max_images_per_study — one static shape per stage.
+
+    Trimming is exact — padded slots are all-zero images whose cross columns
+    carry additive -1e9 masks → exactly-0.0 softmax weights (the same
+    inertness argument as segmented cache growth; tests
+    test_image_pad_is_inert / test_image_pad_is_inert_beam)."""
+    if task.variant == "single":
+        return None
+    assert task.pad_images in ("batch", "max"), (
+        f"pad_images must be 'batch' or 'max', got {task.pad_images!r}"
+    )
+    return None if task.pad_images == "batch" else task.max_images_per_study
 
 def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: Dict,
              num_beams: int, epoch: int, loggers=(), mesh=None):
@@ -330,10 +348,19 @@ def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: D
         it = batch_iterator(dataset, task.mbatch_size, max_images=_collate_max_images(task))
     else:
         # rank-strided like the train loader: each process decodes its share
-        # and _gather_rows reassembles (single-process runs are unaffected)
+        # and _gather_rows reassembles (single-process runs are unaffected).
+        # Under the per-batch collate pad, iterate in image-count order so
+        # batches are slot-homogeneous (a lone 5-image study no longer widens
+        # its whole batch's cross-KV cache); per-study outputs are
+        # iteration-order-invariant, and the metric/CSV layer keys on study_id.
+        sort_key = None
+        if (task.eval_sort_by_images and task.variant != "single"
+                and _collate_max_images(task) is None
+                and hasattr(dataset, "image_counts")):
+            sort_key = dataset.image_counts()
         it = Prefetcher(
             batch_iterator(dataset, task.mbatch_size, max_images=_collate_max_images(task),
-                           num_workers=task.num_workers,
+                           num_workers=task.num_workers, sort_key=sort_key,
                            rank=jax.process_index(), world_size=jax.process_count())
         )
     for batch in it:

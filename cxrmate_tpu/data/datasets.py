@@ -77,6 +77,13 @@ class StudyDataset(DicomDataset):
             "study_ids": r["study_id"],
         }
 
+    def image_counts(self) -> np.ndarray:
+        """DICOMs per study, aligned with ``examples`` — the eval loader's
+        sort key for image-slot-homogeneous batches (cli/stages.py:evaluate;
+        outputs are per-study and iteration-order-invariant)."""
+        vc = self.df["study_id"].value_counts()
+        return np.asarray([int(vc[s]) for s in self.examples])
+
 
 class PreviousReportDataset(StudyDataset):
     """Study examples with the previous report of the same subject as prompt

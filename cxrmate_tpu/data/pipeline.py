@@ -39,15 +39,22 @@ def batch_iterator(
     world_size: int = 1,
     num_workers: int = 0,
     skip_batches: int = 0,
+    sort_key: Optional[Sequence] = None,
 ) -> Iterator[Dict]:
     """Sequential (or shuffled) batches; with world_size > 1, rank r takes strided
     samples like a DistributedSampler(shuffle=False). ``num_workers`` > 0 decodes a
     batch's JPEGs on a thread pool (PIL releases the GIL). ``skip_batches`` fast-
     forwards past the first N per-rank batches without touching the dataset
-    (mid-epoch resume: same seed → same order → the untrained remainder)."""
+    (mid-epoch resume: same seed → same order → the untrained remainder).
+    ``sort_key`` (eval only; ignored under ``shuffle``) iterates in stable-sorted
+    key order — used with per-study image counts so batches are image-slot
+    homogeneous under the per-batch collate pad (cli/stages.py:evaluate)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
+    elif sort_key is not None:
+        assert len(sort_key) == len(dataset), (len(sort_key), len(dataset))
+        order = order[np.argsort(np.asarray(sort_key), kind="stable")]
     order = order[rank::world_size]
     if skip_batches:
         order = order[skip_batches * batch_size :]

@@ -369,6 +369,43 @@ def test_beam_segmented_cache_growth_is_inert():
     np.testing.assert_array_equal(outs[1][1], outs["3:4"][1])
 
 
+def test_image_pad_is_inert_beam():
+    """Beam counterpart of test_image_pad_is_inert (test_generate_greedy.py):
+    all-zero padding slots beyond the batch's real max image count leave the
+    beam-search sequences AND hypothesis scores bit-identical (their cross
+    columns are masked to exactly-0.0 softmax weights), so the CLI's
+    ``pad_images: batch`` collate cannot change test-stage outputs."""
+    ref = build_reference_model("longitudinal", vocab_size=97, seed=29)
+    cfg = _my_config("longitudinal")
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(12)
+    b = 2
+    trimmed = rng.randn(b, 2, 3, 64, 64).astype(np.float32)
+    trimmed[0, 1] = 0.0
+    padded = np.zeros((b, 5, 3, 64, 64), np.float32)
+    padded[:, :2] = trimmed
+
+    prompt = np.full((b, 7), PAD, dtype=np.int32)
+    prompt[0, :5] = [91, 30, PMT_SEP, 40, BOS]
+    prompt[1, :7] = [91, 31, 32, PMT_SEP, 41, 42, BOS]
+    mask = (prompt != PAD).astype(np.int32)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=11, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        mask_token_id=PAD, special_token_ids=(PMT_SEP, BOS, SEP),
+        token_type_sections=(0, 1, 0, 1), num_beams=4,
+    )
+    outs = {}
+    for name, pix in (("trimmed", trimmed), ("padded", padded)):
+        enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pix), cfg)
+        seq, scores = beam_search(
+            variables, cfg, gen_cfg, enc_hidden, enc_mask,
+            jnp.asarray(prompt), jnp.asarray(mask),
+        )
+        outs[name] = (np.asarray(seq), np.asarray(scores))
+    np.testing.assert_array_equal(outs["trimmed"][0], outs["padded"][0])
+    np.testing.assert_array_equal(outs["trimmed"][1], outs["padded"][1])
+
+
 def test_env_knobs_resolved_at_call_time(monkeypatch):
     """CXRMATE_CACHE_SEGMENTS is resolved OUTSIDE jit, per call: changing the
     env between calls in one process must key a fresh trace (not silently reuse

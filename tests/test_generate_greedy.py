@@ -147,6 +147,40 @@ def test_prompt_bucketing_is_inert():
     # generated tokens (after each row's prompt region) must match
     np.testing.assert_array_equal(base[:, 7:], bucketed[:, 16:])
 
+def test_image_pad_is_inert():
+    """Extra all-zero image slots (the collate's padding convention) change
+    nothing: their encoder-mask columns carry additive -1e9 cross masks →
+    exactly-0.0 softmax weights, so sequences AND per-step logits are
+    bit-identical. This is what lets the CLI pad image stacks to the batch max
+    (``pad_images: batch``, the reference's pad_sequence semantics) instead of
+    ``max_images_per_study`` without altering any output."""
+    ref = build_reference_model("multi", vocab_size=97, seed=23)
+    cfg = _my_config("multi")
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    rng = np.random.RandomState(11)
+    b = 2
+    trimmed = rng.randn(b, 2, 3, 64, 64).astype(np.float32)
+    trimmed[1, 1] = 0.0  # row 1 has one real image even before the extra padding
+    padded = np.zeros((b, 4, 3, 64, 64), np.float32)
+    padded[:, :2] = trimmed
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=13, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        special_token_ids=(SEP,),
+    )
+    prompt = jnp.full((b, 1), BOS, jnp.int32)
+    outs = {}
+    for name, pix in (("trimmed", trimmed), ("padded", padded)):
+        enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pix), cfg)
+        seq, scores = generate(
+            variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt,
+            jnp.ones((b, 1), jnp.int32), return_scores=True,
+        )
+        outs[name] = (np.asarray(seq), np.asarray(scores))
+    np.testing.assert_array_equal(outs["trimmed"][0], outs["padded"][0])
+    np.testing.assert_array_equal(outs["trimmed"][1], outs["padded"][1])
+
+
 def test_segmented_cache_growth_is_inert():
     """cache_segments > 1 (decode in phases with a narrower KV cache early,
     zero-padded up between phases) must be bit-identical to the single-phase

@@ -121,3 +121,73 @@ def test_prefetcher_slow_consumer_receives_every_batch():
         time.sleep(0.02)  # slow consumer
         got.append(item)
     assert got == list(range(n))
+
+
+def test_collate_max_images_knob():
+    """pad_images: "batch" (default) pads to the batch's own max image count
+    (collate's max_images=None path — the reference's pad_sequence semantics);
+    "max" restores the fixed max_images_per_study pad; single stays per-DICOM."""
+    import dataclasses
+
+    from cxrmate_tpu.cli.config import TaskConfig
+    from cxrmate_tpu.cli.stages import _collate_max_images
+    from cxrmate_tpu.data.pipeline import collate
+
+    multi = TaskConfig(variant="multi")
+    assert _collate_max_images(multi) is None
+    assert _collate_max_images(dataclasses.replace(multi, pad_images="max")) == 5
+    assert _collate_max_images(TaskConfig(variant="single")) is None
+    with pytest.raises(AssertionError):
+        _collate_max_images(dataclasses.replace(multi, pad_images="nope"))
+
+    examples = [
+        {"images": np.ones((2, 3, 4, 4), np.float32), "study_ids": "a"},
+        {"images": np.ones((1, 3, 4, 4), np.float32), "study_ids": "b"},
+    ]
+    assert collate(list(examples), None)["images"].shape == (2, 2, 3, 4, 4)
+    assert collate(list(examples), 5)["images"].shape == (2, 5, 3, 4, 4)
+
+
+def test_batch_iterator_sort_key():
+    """sort_key iterates in stable-sorted key order (image-count-homogeneous
+    eval batches under the per-batch collate pad) and composes with rank
+    striding; each batch then pads only to its own max image count."""
+
+    class DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return {"images": np.ones((1 + i % 3, 3, 2, 2), np.float32), "ids": i}
+
+    ds = DS()
+    key = [1 + i % 3 for i in range(6)]  # counts [1,2,3,1,2,3]
+    batches = list(batch_iterator(ds, 2, sort_key=key))
+    assert [b["ids"] for b in batches] == [[0, 3], [1, 4], [2, 5]]
+    assert [b["images"].shape[1] for b in batches] == [1, 2, 3]
+    # rank striding composes after the sort
+    r0 = [b["ids"] for b in batch_iterator(ds, 2, sort_key=key, rank=0, world_size=2)]
+    r1 = [b["ids"] for b in batch_iterator(ds, 2, sort_key=key, rank=1, world_size=2)]
+    assert r0 == [[0, 1], [2]] and r1 == [[3, 4], [5]]
+    with pytest.raises(AssertionError):
+        next(iter(batch_iterator(ds, 2, sort_key=[1, 2])))
+
+
+def test_image_counts_alignment():
+    """StudyDataset.image_counts aligns DICOMs-per-study with `examples`."""
+    import pandas as pd
+
+    from cxrmate_tpu.data.datasets import StudyDataset
+
+    df = pd.DataFrame(
+        dict(
+            dicom_id=["a", "b", "c", "d"],
+            study_id=[10, 10, 11, 12],
+            subject_id=[1, 1, 2, 3],
+            findings=["f"] * 4,
+            impression=["i"] * 4,
+        )
+    )
+    ds = StudyDataset(df, ".", lambda p: None)
+    assert ds.examples == [10, 11, 12]
+    assert list(ds.image_counts()) == [2, 1, 1]
