@@ -34,6 +34,7 @@ def save_checkpoint(
     extra_files: Optional[Dict[str, str]] = None,
     mbatch_size: Optional[int] = None,
     world_size: Optional[int] = None,
+    global_schedule: bool = False,
 ) -> str:
     """Save ``state`` for ``epoch``; prune to the top-k by the monitored metric.
     ``step`` tags mid-epoch saves (Lightning's ``epoch=0-step=1567`` naming,
@@ -56,12 +57,23 @@ def save_checkpoint(
     marker = {"epoch": epoch, "step": step, "n_batches": n_batches,
               "global_step": global_step if global_step is not None else step,
               # the loader schedule the in-epoch position is measured in; a
-              # mid-epoch resume is only well-defined under the same schedule
-              "mbatch_size": mbatch_size, "world_size": world_size}
+              # mid-epoch resume is only well-defined under the same schedule.
+              # global_schedule marks mesh runs, whose position is counted in
+              # GLOBAL batches — world_size may change across such a resume
+              "mbatch_size": mbatch_size, "world_size": world_size,
+              "global_schedule": global_schedule}
+
+    # multi-process: EVERY process must enter ckptr.save (orbax coordinates
+    # internally with cross-process barriers and only the primary host writes
+    # host/replicated data); the plain-file metadata ops are rank-0's alone.
+    # extra_files names are rank-distinct by construction (the SCST history
+    # sidecars), so every rank writes its own.
+    rank0 = jax.process_index() == 0
 
     def _write_meta(ckpt_path: str) -> None:
-        with open(os.path.join(ckpt_path, "MARKER.json"), "w") as f:
-            json.dump(marker, f)
+        if rank0:
+            with open(os.path.join(ckpt_path, "MARKER.json"), "w") as f:
+                json.dump(marker, f)
         for name, content in (extra_files or {}).items():
             with open(os.path.join(ckpt_path, name), "w") as f:
                 f.write(content)
@@ -82,23 +94,25 @@ def save_checkpoint(
         scored.sort(key=lambda kv: kv[1]["value"], reverse=reverse)
         for k, _ in scored[keep_top_k:]:
             victim = _ckpt_dir(exp_dir_trial, k)
-            if os.path.exists(victim):
+            if rank0 and os.path.exists(victim):
                 import shutil
 
                 shutil.rmtree(victim)
             index.pop(k, None)
-    with open(index_path, "w") as f:
-        json.dump(index, f, indent=1)
+    if rank0:
+        with open(index_path, "w") as f:
+            json.dump(index, f, indent=1)
     # also maintain a Lightning-style "last" checkpoint for resume_last
     last_path = _ckpt_dir(exp_dir_trial, "last")
-    if os.path.exists(last_path):
+    if rank0 and os.path.exists(last_path):
         import shutil
 
         shutil.rmtree(last_path)
     ckptr.save(os.path.abspath(last_path), state, force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(last_path, "EPOCH"), "w") as f:
-        f.write(str(epoch))
+    if rank0:
+        with open(os.path.join(last_path, "EPOCH"), "w") as f:
+            f.write(str(epoch))
     _write_meta(last_path)
     return path
 
@@ -224,7 +238,8 @@ def checkpoint_resume_info(path: str) -> Dict[str, Optional[int]]:
         with open(marker_path) as f:
             info = json.load(f)
         return {k: info.get(k) for k in (
-            "epoch", "step", "n_batches", "global_step", "mbatch_size", "world_size")}
+            "epoch", "step", "n_batches", "global_step", "mbatch_size", "world_size",
+            "global_schedule")}
     base = os.path.basename(os.path.normpath(path))
     e = re.search(r"epoch=(\d+)", base)
     s = re.search(r"step=(\d+)", base)
@@ -235,6 +250,7 @@ def checkpoint_resume_info(path: str) -> Dict[str, Optional[int]]:
         "global_step": int(s.group(1)) if s else None,
         "mbatch_size": None,
         "world_size": None,
+        "global_schedule": False,
     }
 
 
@@ -264,11 +280,26 @@ def last_checkpoint_epoch(exp_dir_trial: str) -> Optional[int]:
 
 
 def restore_checkpoint(path: str, target: Any) -> Any:
-    """Restore into the structure/shardings of ``target``."""
+    """Restore into the structure/shardings of ``target``. With no target,
+    restore to host numpy: target-less restores must be topology-independent
+    (a dp8-mesh checkpoint tested under 2 processes × 4 devices, a pod
+    checkpoint inspected on one host) — orbax would otherwise rebuild the
+    SAVING run's device shardings and fail on any other topology."""
+    import jax
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)
+    if target is None:
+        import numpy as np
+
+        ckptr = ocp.PyTreeCheckpointer()
+        tree = ckptr.metadata(path).item_metadata.tree
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+        )
+        return ckptr.restore(path, restore_args=restore_args)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), target=target)
+    return ckptr.restore(path, target=target)
 
 
 def load_torch_checkpoint(path: str) -> Dict:

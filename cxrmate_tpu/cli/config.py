@@ -123,6 +123,11 @@ class TaskConfig:
     # TPU parallelism
     mesh_data: Optional[int] = None
     mesh_model: int = 1
+    # pad every TF batch to the static decoder/prompt budgets instead of the
+    # batch longest (bit-identical loss — pad keys/labels are masked; one XLA
+    # program per stage). Forced on in multi-process runs, where every process
+    # must tokenize ITS row stripe to the same global widths.
+    static_tf_pad: bool = False
 
     # model preset: "cxrmate" (CvT-21@384 + 6L BERT) or "tiny" (smoke tests)
     model_preset: str = "cxrmate"

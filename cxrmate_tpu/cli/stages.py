@@ -82,22 +82,49 @@ def build_model_config(task: TaskConfig, vocab_size: int) -> model_configs.Encod
 def mesh_from_task(task: TaskConfig):
     """Build the dp×tp device mesh when the config asks for one
     (``mesh_data``/``mesh_model``; the reference's `devices`/`strategy: ddp`,
-    config/train/single_tf.yaml:8-9). Returns None for the single-device default."""
+    config/train/single_tf.yaml:8-9). Returns None for the single-device default.
+
+    This is the EVAL-side resolution: in multi-process runs it returns None —
+    evaluation is embarrassingly parallel (each process decodes its rank-strided
+    share on its local devices with a host copy of the replicated params; metric
+    rows are gathered with ``process_allgather``, eval/metrics.py). Training
+    stages use ``_fit_mesh``, which in multi-process runs builds the global
+    data-parallel mesh instead."""
     from cxrmate_tpu.parallel.mesh import make_mesh
 
     if task.mesh_data is None and task.mesh_model <= 1:
         return None
-    # The GSPMD mesh shards the FULL host batch over its data axis, while the
-    # loaders stride by process rank — combining them would shard the batch
-    # twice (docs/ARCHITECTURE.md "Multi-host × mesh").
-    assert jax.process_count() == 1, (
-        "mesh_data/mesh_model is the single-process GSPMD path; multi-host runs "
-        "use the rank-strided loaders without a mesh"
-    )
+    if jax.process_count() > 1:
+        return None
     mesh = make_mesh(task.mesh_data, task.mesh_model)
     if mesh.devices.size == 1:
         return None  # 1x1 mesh is the single-device path
     return mesh
+
+
+def _fit_mesh(task: TaskConfig):
+    """Mesh for the training stages. Single-process: the configured dp×tp mesh.
+    Multi-process: a global data-parallel mesh over EVERY device of every
+    process — the reference's DDP (`config/train/single_tf.yaml:8`) at pod
+    scale, TPU-natively: each process loads its row stripe of the global batch
+    (``local_row_range`` + the loader's ``row_shard``), ``place_batch``
+    assembles the global array, and the gradient reduction is the GSPMD psum
+    over ICI/DCN. Without the mesh, multi-process fit would silently train
+    divergent replicas — nothing else synchronises gradients."""
+    if jax.process_count() == 1:
+        return mesh_from_task(task)
+    from cxrmate_tpu.parallel.mesh import make_mesh
+
+    assert task.mesh_model <= 1, (
+        "tensor parallelism is single-process (the ~100M model never needs TP "
+        "across hosts); multi-process runs are data-parallel only"
+    )
+    n = len(jax.devices())
+    assert task.mesh_data is None or task.mesh_data == n, (
+        f"multi-process fit shards over ALL {n} global devices; got "
+        f"mesh_data={task.mesh_data} (leave it unset or set it to {n})"
+    )
+    return make_mesh(n, 1)
 
 
 def shard_for_mesh(variables: Dict, mesh, task: TaskConfig) -> Dict:
@@ -156,12 +183,26 @@ def resolve_warm_start(task: TaskConfig, config, variables: Dict) -> Dict:
             raise FileNotFoundError(f"no checkpoint to warm-start from under {exp_dir_trial}")
         return _load_orbax_variables(path, variables)
     name = task.warm_start_name or task.multi_ckpt_name
+    # HF Hub ids ('aehrc/cxrmate') resolve under the offline checkpoint zoo —
+    # the same convention the metric/reward models use (ckpt_zoo_dir/<org>/<name>);
+    # explicit paths win when they exist
+    if name and not os.path.exists(name):
+        zoo_name = os.path.join(task.ckpt_zoo_dir, name)
+        if os.path.isdir(zoo_name):
+            name = zoo_name
     if name and os.path.isdir(name):
         sd = orbax_io.load_hf_pretrained_dir(name)
         return convert_encoder_decoder(sd, config.encoder, config.decoder)
     if name and os.path.isfile(name):
         sd = orbax_io.load_torch_checkpoint(name)
         return convert_encoder_decoder(sd, config.encoder, config.decoder)
+    if name:
+        # never fall through to a fresh init when a checkpoint was requested
+        # (the reference's from_pretrained fails loudly too)
+        raise FileNotFoundError(
+            f"warm_start_name/test_ckpt_name {name!r} is neither a checkpoint "
+            f"dir/file nor present under the zoo ({task.ckpt_zoo_dir})"
+        )
     return variables
 
 
@@ -189,7 +230,14 @@ def make_datasets(task: TaskConfig, split: str, train: bool):
         use_generated=task.variant in ("gen_prompt", "scst"),
         scst_generated=task.variant == "scst" and train and split == "train",
         mbatch_size=task.mbatch_size,
-        world_size=jax.process_count(),
+        # lanes are always GLOBAL: generated-prompt datasets are never
+        # rank-strided (eval decodes them whole on every process; SCST training
+        # iterates the global lane schedule and stripes each batch by row —
+        # docs/ARCHITECTURE.md 'Multi-host'). The reference's DDP instead
+        # rank-strides with world-sized lane packs (data/prompt.py:142-213);
+        # world 1 here makes multi-process runs reproduce the single-process
+        # batch schedule exactly.
+        world_size=1,
     )
 
 
@@ -452,7 +500,7 @@ def _log_scalars(task: TaskConfig, record: Dict) -> None:
         f.write(json.dumps(record) + "\n")
 
 
-def _resolve_fit_resume(task: TaskConfig, state):
+def _resolve_fit_resume(task: TaskConfig, state, mesh=None):
     """Restore the trainer position for fit/fit_scst (reference: Lightning
     ``trainer.fit(ckpt_path=...)`` via `tools/stages.py:88`, which resumes EVERY
     fit — SCST included — and restarts mid-epoch checkpoints inside the same
@@ -471,9 +519,14 @@ def _resolve_fit_resume(task: TaskConfig, state):
     if info["step"] is not None:  # mid-epoch save — validate BEFORE the restore
         # the saved in-epoch batch count is measured in the SAVING run's loader
         # schedule; fast-forwarding under a different mbatch_size/world_size
-        # would silently skip (or re-train) the wrong samples
-        for field, current in (("mbatch_size", task.mbatch_size),
-                               ("world_size", jax.process_count())):
+        # would silently skip (or re-train) the wrong samples. Checkpoints from
+        # mesh runs mark `global_schedule`: their position is counted in GLOBAL
+        # batches, so the process count may change across the resume (the same
+        # global batches just land on a different device layout).
+        checks = [("mbatch_size", task.mbatch_size)]
+        if not info.get("global_schedule"):
+            checks.append(("world_size", jax.process_count()))
+        for field, current in checks:
             saved = info.get(field)
             if saved is not None and saved != current:
                 raise ValueError(
@@ -482,7 +535,18 @@ def _resolve_fit_resume(task: TaskConfig, state):
                     f"{current}; restart with the saving run's {field} (or "
                     f"resume an epoch-end checkpoint instead)"
                 )
-    state = orbax_io.restore_checkpoint(resume_path, state)
+    if jax.process_count() > 1:
+        # multi-process: every process restores the rank-0-written host
+        # checkpoint from the shared filesystem into a host template, then the
+        # (all-replicated, data-parallel-only) state is re-placed on the global
+        # mesh — no cross-process checkpoint coordination needed
+        from cxrmate_tpu.parallel.mesh import host_copy, replicate_tree
+
+        assert mesh is not None, "multi-process fit always trains on the global mesh"
+        host_state = orbax_io.restore_checkpoint(resume_path, host_copy(state))
+        state = replicate_tree(host_state, mesh)
+    else:
+        state = orbax_io.restore_checkpoint(resume_path, state)
     epoch = info["epoch"]
     if epoch is None:
         epoch = orbax_io.last_checkpoint_epoch(task.exp_dir_trial)
@@ -494,10 +558,15 @@ def _resolve_fit_resume(task: TaskConfig, state):
     return state, epoch + 1, 0, gstep, resume_path
 
 
-def _mid_epoch_schedule(task: TaskConfig, dataset_len: int):
+def _mid_epoch_schedule(task: TaskConfig, dataset_len: int, world_size: int = 1):
     """(val_every, total_batches) for Lightning's fractional val_check_interval;
-    (None, total) when validation is epoch-end only."""
-    per_rank = len(range(jax.process_index(), dataset_len, jax.process_count()))
+    (None, total) when validation is epoch-end only.
+
+    ``world_size`` is 1 for the global-batch schedules (fit on a mesh counts
+    GLOBAL batches — every process sees the same count) and
+    ``jax.process_count()`` for rank-strided loaders (SCST's per-rank lanes),
+    where the position is counted in per-rank batches."""
+    per_rank = len(range(0, dataset_len, world_size))
     total_batches = max(1, per_rank // task.mbatch_size)  # drop_last
     if task.val_check_interval and task.val_check_interval < 1.0:
         return max(1, int(task.val_check_interval * total_batches)), total_batches
@@ -521,12 +590,26 @@ def _train_base_rng(trial: int):
     return jax.random.key(trial, impl=impl)
 
 
+def _checkpoint_state(task: TaskConfig, state, epoch, monitor_value, **kw) -> None:
+    """Save a fit checkpoint. Multi-process runs save a host-numpy copy — the
+    train state is fully replicated (multi-process mode is data-parallel only),
+    so no gather is needed; EVERY rank enters ``save_checkpoint`` (orbax's
+    internal cross-process barriers require all processes, and only the primary
+    host writes — the plain-file metadata is rank-0-gated inside)."""
+    if jax.process_count() > 1:
+        from cxrmate_tpu.parallel.mesh import host_copy
+
+        state = host_copy(state)
+    orbax_io.save_checkpoint(task.exp_dir_trial, state, epoch, monitor_value, **kw)
+
+
 def fit(task: TaskConfig, chexbert_fn=None) -> None:
-    from cxrmate_tpu.parallel.mesh import place_batch
+    from cxrmate_tpu.parallel.mesh import host_copy, local_row_range, place_batch
 
     tokenizer = load_tokenizer(task)
     config = build_model_config(task, len(tokenizer))
-    mesh = mesh_from_task(task)
+    mesh = _fit_mesh(task)
+    multiprocess = jax.process_count() > 1
     variables = resolve_warm_start(task, config, init_variables(task, config))
     mask = optim.mask_for_stage(variables["params"], task.variant)
     tx = optim.adamw(task.lr, accumulate_steps=task.accumulate_steps, trainable_mask=mask)
@@ -545,7 +628,7 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
     step = make_train_step(config, tx, trainable_mask=mask, pad_id=tokenizer.pad_token_id,
                            compute_dtype=compute_dtype)
 
-    state, start_epoch, skip_batches, global_step, _ = _resolve_fit_resume(task, state)
+    state, start_epoch, skip_batches, global_step, _ = _resolve_fit_resume(task, state, mesh)
 
     train_set = make_datasets(task, "train", train=True)
     val_set = make_datasets(task, "validate", train=False)
@@ -556,25 +639,46 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
 
     def run_validation(state, epoch, step=None, n_batches=None, gstep=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if multiprocess:
+            # eval is embarrassingly parallel: each process decodes its
+            # rank-strided share locally with a host copy of the replicated
+            # params; metric rows are gathered in eval/metrics.py
+            variables = host_copy(variables)
         if getattr(val_set, "use_generated", False):
             val_set.reset_generated()  # each validation pass starts prompt history clean
         scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1,
-                          epoch, mesh=mesh)
+                          epoch, mesh=None if multiprocess else mesh)
         record = {"epoch": epoch, **{k: float(v) for k, v in scores.items()}}
         if step is not None:
             record["step"] = step
         _log_scalars(task, record)
         monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
-        orbax_io.save_checkpoint(
-            task.exp_dir_trial, state, epoch, monitor_value,
+        _checkpoint_state(
+            task, state, epoch, monitor_value,
             monitor=monitor_key or task.monitor, mode=task.monitor_mode, step=step,
             n_batches=n_batches, global_step=gstep,
             mbatch_size=task.mbatch_size, world_size=jax.process_count(),
+            global_schedule=mesh is not None,
         )
+
+    # Multi-process: every process iterates the SAME global batch schedule and
+    # materialises only its device-owned row stripe; widths/slot counts must be
+    # the static budgets so all stripes of one global batch agree on shape
+    # (bit-identical either way — pad keys/labels/slots are masked).
+    row_shard = local_row_range(mesh, task.mbatch_size) if multiprocess else None
+    static_pad = task.static_tf_pad or multiprocess
+    pad_report_to = config.decoder_max_len if static_pad else None
+    pad_prompt_to = (
+        config.prompt_max_len if static_pad and config.variant == "longitudinal" else None
+    )
+    collate_max = _collate_max_images(task)
+    if multiprocess and collate_max is None and task.variant != "single":
+        collate_max = task.max_images_per_study
 
     # Lightning's val_check_interval < 1: validate + checkpoint every fraction of
     # the epoch (the reference's SCST configs use 0.1; its released SCST
-    # checkpoint is mid-epoch — epoch 0, step 1567)
+    # checkpoint is mid-epoch — epoch 0, step 1567). The schedule counts GLOBAL
+    # batches (same on every process).
     val_every, total_batches = _mid_epoch_schedule(task, len(train_set))
     for epoch in range(start_epoch, task.max_epochs):
         if hasattr(train_set.load_image, "set_epoch"):
@@ -583,8 +687,7 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
         it = Prefetcher(
             batch_iterator(
                 train_set, task.mbatch_size, shuffle=True, seed=epoch,
-                max_images=_collate_max_images(task), drop_last=True,
-                rank=jax.process_index(), world_size=jax.process_count(),
+                max_images=collate_max, drop_last=True, row_shard=row_shard,
                 num_workers=task.num_workers, skip_batches=skip,
             )
         )
@@ -595,6 +698,7 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
                 tokenizer, config, batch["images"].astype(np.float32),
                 batch["findings"], batch["impression"],
                 batch.get("previous_findings"), batch.get("previous_impression"),
+                pad_report_to=pad_report_to, pad_prompt_to=pad_prompt_to,
             )
             k = jax.random.fold_in(base_rng, global_step)
             with annotate("train_step"):
@@ -626,11 +730,19 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
     with per-epoch subject re-allocation and generated-history threading.
     variant 'scst_gt' (reference scst/gt_prompt.py:8-255, GTPromptCXRBERT):
     ground-truth prompts, ordinary shuffled batching, no history writes."""
+    from cxrmate_tpu.parallel.mesh import host_copy, local_row_range, place_batch
     from cxrmate_tpu.train.scst import SCSTTrainer, make_scst_step
 
     tokenizer = load_tokenizer(task)
     config = build_model_config(task, len(tokenizer))
-    mesh = mesh_from_task(task)
+    # Multi-process SCST mirrors multi-process `fit`: ONE global data-parallel
+    # mesh; every process iterates the SAME global batch schedule (allocator
+    # lanes are GLOBAL — world 1) and materialises only its device-owned row
+    # stripe. A subject's whole lane is one fixed row of every global batch, so
+    # its generated-prompt history stays on one rank (docs/ARCHITECTURE.md
+    # 'Multi-host').
+    mesh = _fit_mesh(task)
+    multiprocess = jax.process_count() > 1
     variables = resolve_warm_start(task, config, init_variables(task, config))
     mask = optim.mask_for_stage(variables["params"], "scst")
     tx = optim.adamw(task.lr, accumulate_steps=task.accumulate_steps, trainable_mask=mask)
@@ -671,8 +783,13 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
             tokenizer,
         )
 
-    trainer = SCSTTrainer(config, rollout, grad_step, reward_fn, split_fn)
-    train_set = make_datasets(task, "train", train=True)
+    # multi-process: the trainer extracts this process's row stripe of the
+    # rollout outputs for the host reward round-trip and re-assembles the
+    # advantage on the global mesh
+    row_shard = local_row_range(mesh, task.mbatch_size) if multiprocess else None
+    trainer = SCSTTrainer(config, rollout, grad_step, reward_fn, split_fn,
+                          mesh=mesh if multiprocess else None, row_range=row_shard)
+    train_set = make_datasets(task, "train", train=True)  # global lanes (world 1)
     val_set = make_datasets(task, "validate", train=False)
     metrics = make_metrics(task, "val", chexbert_fn=chexbert_fn)
     base_rng = _train_base_rng(task.trial)
@@ -683,28 +800,40 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
     # the loader fast-forwarded; the generated-prompt history written back
     # earlier in that epoch is restored from the checkpoint sidecar, and the
     # epoch's subject→lane allocation is reconstructed from its seed.
-    state, start_epoch, skip_batches, global_step, resume_path = _resolve_fit_resume(task, state)
+    state, start_epoch, skip_batches, global_step, resume_path = _resolve_fit_resume(
+        task, state, mesh
+    )
     # per-rank sidecar: in multi-process runs every rank writes into the same
     # checkpoint dir, and each rank's generated-prompt history covers only ITS
-    # rank-strided lanes — a shared filename would keep the last writer's only
+    # row stripe's lanes — a shared filename would keep the last writer's only
     history_sidecar = f"scst_history.rank{jax.process_index()}.json"
     resume_history = None
     if resume_path and skip_batches and gen_prompt_scst:
-        blob = orbax_io.checkpoint_extra_file(resume_path, history_sidecar)
-        if blob is None and jax.process_index() == 0:
+        import json as _json
+
+        # union over ALL ranks' sidecars: lanes are global, so the union equals
+        # the single-process history, and a resume may change the process count
+        # (each rank's record_generated touches only its own stripe's subjects)
+        resume_history = {}
+        for name in sorted(os.listdir(resume_path)):
+            if name.startswith("scst_history.rank") and name.endswith(".json"):
+                blob = orbax_io.checkpoint_extra_file(resume_path, name)
+                if blob is not None:
+                    resume_history.update(_json.loads(blob))
+        if not resume_history:
             # legacy (pre-per-rank) single-process checkpoints
             blob = orbax_io.checkpoint_extra_file(resume_path, "scst_history.json")
-        if blob is not None:
-            import json as _json
-
-            resume_history = _json.loads(blob)
+            resume_history = _json.loads(blob) if blob is not None else None
 
     def run_validation(state, epoch, step=None, n_batches=None, gstep=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if multiprocess:
+            # eval is embarrassingly parallel (see fit.run_validation)
+            variables = host_copy(variables)
         if getattr(val_set, "use_generated", False):
             val_set.reset_generated()
         scores = evaluate(task, config, tokenizer, variables, val_set, "val", metrics, 1,
-                          epoch, mesh=mesh)
+                          epoch, mesh=None if multiprocess else mesh)
         record = {"epoch": epoch, **{k: float(v) for k, v in scores.items()}}
         if step is not None:
             record["step"] = step
@@ -715,12 +844,19 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
             import json as _json
 
             extra_files = {history_sidecar: _json.dumps(train_set.export_generated())}
-        orbax_io.save_checkpoint(
-            task.exp_dir_trial, state, epoch, monitor_value,
+        _checkpoint_state(
+            task, state, epoch, monitor_value,
             monitor=monitor_key or task.monitor, mode=task.monitor_mode, step=step,
             n_batches=n_batches, global_step=gstep, extra_files=extra_files,
             mbatch_size=task.mbatch_size, world_size=jax.process_count(),
+            global_schedule=mesh is not None,
         )
+
+    # multi-process: image-slot counts must agree across the ranks' stripes of
+    # one global batch (same rule as fit)
+    collate_max = _collate_max_images(task)
+    if multiprocess and collate_max is None and task.variant != "single":
+        collate_max = task.max_images_per_study
 
     for epoch in range(start_epoch, task.max_epochs):
         if hasattr(train_set.load_image, "set_epoch"):
@@ -734,21 +870,22 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
             train_set.reset_generated()
             if skip and resume_history is not None:
                 train_set.import_generated(resume_history)
-            # DistributedSampler(shuffle=False) semantics: rank-strided, in allocator
-            # order (scst/gen_prompt.py:118); lanes were packed per rank×mbatch slot.
+            # Sequential in allocator order (scst/gen_prompt.py:118); lanes were
+            # packed per global mbatch slot, so batch t row j is lane j.
             # No prefetch: __getitem__ reads history written back after each step
             # (the reference's num_workers=0 loaders, gen_prompt.py:66-82).
-            it = batch_iterator(train_set, task.mbatch_size, max_images=_collate_max_images(task),
-                                drop_last=True, rank=jax.process_index(),
-                                world_size=jax.process_count(), skip_batches=skip)
+            # Multi-process: every process iterates the same global schedule and
+            # materialises only its row stripe (lane j → fixed global row j →
+            # one rank owns the subject's whole history).
+            it = batch_iterator(train_set, task.mbatch_size, max_images=collate_max,
+                                drop_last=True, row_shard=row_shard, skip_batches=skip)
         else:
             # scst_gt inherits GTPrompt's ordinary shuffled loader (gt_prompt.py via
             # scst/gt_prompt.py:8 — no sampler/history overrides)
             it = Prefetcher(
                 batch_iterator(train_set, task.mbatch_size, shuffle=True, seed=epoch,
-                               max_images=_collate_max_images(task), drop_last=True,
-                               rank=jax.process_index(), world_size=jax.process_count(),
-                               skip_batches=skip)
+                               max_images=collate_max, drop_last=True,
+                               row_shard=row_shard, skip_batches=skip)
             )
         # len(train_set) can change per epoch (the allocator oversamples to lane
         # divisibility) — recompute the fractional-validation schedule each epoch
@@ -760,18 +897,48 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
                 batch["previous_findings"], batch["previous_impression"], tokenizer,
                 task.decoder_max_len, add_bos_token_id=True,
             )
-            k = jax.random.fold_in(base_rng, global_step)
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+            # bucket prompt widths like the eval path above: SCST prompt widths
+            # vary every batch (histories grow as training writes them back),
+            # and every distinct width compiles a fresh rollout + grad program.
+            # Bit-exact — the first token issues from the true batch-longest
+            # column and the extra pad columns are mask-inert
+            # (tests/test_scst.py::test_scst_prompt_bucketing_is_inert).
+            true_width = prompt["input_ids"].shape[1]
+            if multiprocess:
+                # ranks must agree on the width AND the first-token column: the
+                # true longest is the GLOBAL batch's (what the single-process
+                # run would pad to), so stripes whose own longest is shorter
+                # pad up to it before bucketing
+                from cxrmate_tpu.parallel.multihost import global_max_int
 
-                _p = lambda a: jax.device_put(np.asarray(a), NamedSharding(mesh, P("data")))
-            else:
-                _p = lambda a: jnp.asarray(a)
+                g_width = global_max_int(true_width)
+                if g_width > true_width:
+                    pad = g_width - true_width
+                    prompt["input_ids"] = np.pad(
+                        prompt["input_ids"], ((0, 0), (0, pad)),
+                        constant_values=tokenizer.pad_token_id,
+                    )
+                    prompt["attention_mask"] = np.pad(
+                        prompt["attention_mask"], ((0, 0), (0, pad)), constant_values=0
+                    )
+                true_width = g_width
+            p_ids, p_mask = ed.bucket_prompt(
+                prompt["input_ids"], prompt["attention_mask"], tokenizer.pad_token_id,
+                bucket=32, max_len=task.decoder_max_len,
+            )
+            k = jax.random.fold_in(base_rng, global_step)
+            placed = place_batch(
+                {
+                    "images": np.asarray(batch["images"], np.float32),
+                    "prompt_ids": p_ids.astype(np.int32),
+                    "prompt_mask": p_mask.astype(np.int32),
+                },
+                mesh,
+            )
             state, logs, (b_f, b_i) = trainer.step(
-                state, _p(np.asarray(batch["images"], np.float32)),
-                _p(prompt["input_ids"].astype(np.int32)),
-                _p(prompt["attention_mask"].astype(np.int32)),
+                state, placed["images"], placed["prompt_ids"], placed["prompt_mask"],
                 batch["findings"], batch["impression"], k,
+                prompt_logits_col=true_width - 1,
             )
             _log_scalars(task, {"epoch": epoch, **logs})
             if gen_prompt_scst:
@@ -951,7 +1118,11 @@ def _optional(builder, task):
 
 def main(argv=None):
     from cxrmate_tpu.cli.config import parse_args
+    from cxrmate_tpu.parallel.multihost import initialize_if_needed
 
+    # must run before anything touches the jax backend: a multi-host launch
+    # (JAX_COORDINATOR_ADDRESS set) joins the cluster here; single-host no-op
+    initialize_if_needed()
     task = parse_args(argv)
     chexbert_fn = _optional(build_chexbert_fn, task)
     if getattr(task, "_train", False):

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -40,6 +40,7 @@ def batch_iterator(
     num_workers: int = 0,
     skip_batches: int = 0,
     sort_key: Optional[Sequence] = None,
+    row_shard: Optional[Tuple[int, int]] = None,
 ) -> Iterator[Dict]:
     """Sequential (or shuffled) batches; with world_size > 1, rank r takes strided
     samples like a DistributedSampler(shuffle=False). ``num_workers`` > 0 decodes a
@@ -48,7 +49,17 @@ def batch_iterator(
     (mid-epoch resume: same seed → same order → the untrained remainder).
     ``sort_key`` (eval only; ignored under ``shuffle``) iterates in stable-sorted
     key order — used with per-study image counts so batches are image-slot
-    homogeneous under the per-batch collate pad (cli/stages.py:evaluate)."""
+    homogeneous under the per-batch collate pad (cli/stages.py:evaluate).
+
+    ``row_shard`` ((start, stop) rows within each batch): mesh-aligned loading
+    for multi-process data parallelism — every process iterates the SAME global
+    batch order (same seed/skip; ``batch_size`` is the GLOBAL batch), but
+    materialises only the row stripe its devices own
+    (``parallel.mesh.local_row_range``); ``place_batch`` reassembles the global
+    batch on the mesh. Mutually exclusive with rank/world striding; ragged
+    final batches are always dropped (a partial batch has no well-defined
+    stripe)."""
+    assert row_shard is None or world_size == 1, "row_shard excludes rank striding"
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
@@ -66,8 +77,10 @@ def batch_iterator(
     try:
         for start in range(0, len(order), batch_size):
             idx = order[start : start + batch_size]
-            if drop_last and len(idx) < batch_size:
+            if len(idx) < batch_size and (drop_last or row_shard is not None):
                 return
+            if row_shard is not None:
+                idx = idx[row_shard[0] : row_shard[1]]
             if pool is not None:
                 items = list(pool.map(lambda i: dataset[int(i)], idx))
             else:

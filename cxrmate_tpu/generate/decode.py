@@ -403,6 +403,7 @@ def scst_rollout_decode(
     prompt_mask: jnp.ndarray,
     rng: jax.Array,
     cache_segments=None,
+    prompt_logits_col=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Public entry for the fused SCST rollout — see ``_scst_rollout_decode``.
     Resolves ``cache_segments`` (env ``CXRMATE_SCST_CACHE_SEGMENTS`` handling
@@ -412,6 +413,7 @@ def scst_rollout_decode(
         variables, config, cfg_sample, cfg_base, encoder_hidden, encoder_mask,
         prompt_ids, prompt_mask, rng,
         cache_segments=resolve_cache_segments(cache_segments),
+        prompt_logits_col=prompt_logits_col,
     )
 
 
@@ -429,6 +431,7 @@ def _scst_rollout_decode(
     prompt_mask: jnp.ndarray,
     rng: jax.Array,
     cache_segments=None,
+    prompt_logits_col=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SCST rollout: sampled sequences + greedy baselines in ONE decode loop.
 
@@ -506,7 +509,12 @@ def _scst_rollout_decode(
 
     rng0 = rng
     first_rng, loop_rng = jax.random.split(rng0)
-    tok0 = select_token(prefill_logits[:, p_len - 1, :], first_rng)
+    # prompt_logits_col: as in ``_generate`` — when the prompt is bucket-padded
+    # beyond the batch-longest width, the first token must issue from the true
+    # longest column (the longest row's real BOS query, not a pad/mask query).
+    # Traced, not static, for the same one-program-per-bucket reason.
+    first_col = p_len - 1 if prompt_logits_col is None else prompt_logits_col
+    tok0 = select_token(prefill_logits[:, first_col, :], first_rng)
     finished0 = tok0 == cfg_sample.eos_token_id
     seq = jax.lax.dynamic_update_slice(seq, tok0[:, None], (0, p_len))
     new_mask0 = (tok0 != mask_id).astype(jnp.int32)

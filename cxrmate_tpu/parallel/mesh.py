@@ -40,17 +40,86 @@ def batch_spec() -> P:
 def place_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
     """Place a host batch dict on the mesh, sharded along the 'data' axis (the
     DDP analogue: each device gets its slice; gradient reductions become psum
-    over ICI via GSPMD). With no mesh, plain device transfer."""
+    over ICI via GSPMD). With no mesh, plain device transfer.
+
+    When the mesh spans processes (multi-host), each process passes only its
+    OWN row stripe of the global batch — the rows its local devices own
+    (``local_row_range``; the loader's ``row_shard``) — and the global array is
+    assembled from the per-process stripes."""
     import jax.numpy as jnp
 
     if mesh is None:
         return {k: jnp.asarray(v) for k, v in batch.items()}
+    multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         arr = np.asarray(v)
         spec = P("data") if arr.ndim else P()
-        out[k] = jax.device_put(arr, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            if arr.ndim:
+                out[k] = jax.make_array_from_process_local_data(sharding, arr)
+            else:  # replicated scalar: every process passes the same full value
+                out[k] = jax.make_array_from_callback(
+                    arr.shape, sharding, lambda idx, a=arr: a[idx]
+                )
+        else:
+            out[k] = jax.device_put(arr, sharding)
     return out
+
+
+def local_row_range(mesh: Mesh, global_rows: int):
+    """The contiguous ``[start, stop)`` rows of a ``P('data')``-sharded global
+    batch owned by THIS process's devices. Multi-process loaders materialise
+    only this stripe (``data.pipeline.batch_iterator(row_shard=...)``) and
+    ``place_batch`` reassembles the global batch. Derived from the sharding's
+    own index map, so it holds for whatever device order jax reports."""
+    sharding = NamedSharding(mesh, P("data"))
+    imap = sharding.addressable_devices_indices_map((global_rows,))
+    spans = []
+    for idx in imap.values():
+        sl = idx[0]
+        spans.append((sl.start or 0, global_rows if sl.stop is None else sl.stop))
+    lo = min(s for s, _ in spans)
+    hi = max(e for _, e in spans)
+    assert sum(e - s for s, e in spans) == hi - lo, (
+        "this process's rows on the mesh data axis are not contiguous "
+        f"(spans {sorted(spans)}); multi-process loading needs a process-major "
+        "device order along 'data'"
+    )
+    return lo, hi
+
+
+def host_copy(tree):
+    """Host-numpy copy of a tree of (fully-replicated) arrays. In multi-process
+    runs every process holds complete values of replicated global arrays, so
+    rank 0 can checkpoint (and every rank can run local eval) without a gather."""
+
+    def one(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            assert x.is_fully_replicated, (
+                "host_copy needs fully-replicated arrays (multi-process mode is "
+                f"data-parallel only); got sharding {x.sharding}"
+            )
+            return np.asarray(x.addressable_shards[0].data)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Place a host tree fully-replicated on the (possibly multi-process) mesh.
+    Every process must pass identical values (deterministic init / checkpoint
+    restore from the shared filesystem)."""
+    sharding = NamedSharding(mesh, P())
+
+    def one(x):
+        a = np.asarray(x)
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(a.shape, sharding, lambda idx, a=a: a[idx])
+        return jax.device_put(a, sharding)
+
+    return jax.tree_util.tree_map(one, tree)
 
 
 def pad_to_multiple(arr: np.ndarray, multiple: int) -> np.ndarray:
@@ -161,8 +230,16 @@ def _feasible_spec(x, spec: P, mesh: Mesh) -> P:
 
 def shard_variables(variables: dict, mesh: Mesh, tp: bool = True) -> dict:
     specs = variables_specs(variables, tp=tp)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, _feasible_spec(x, s, mesh))),
-        variables,
-        specs,
-    )
+    multiprocess = jax.process_count() > 1
+
+    def place(x, s):
+        sharding = NamedSharding(mesh, _feasible_spec(x, s, mesh))
+        if multiprocess:
+            # device_put cannot target non-addressable devices; every process
+            # holds the full host value (deterministic init / shared-FS load),
+            # so assemble the global array shard-by-shard from it
+            a = np.asarray(x)
+            return jax.make_array_from_callback(a.shape, sharding, lambda idx, a=a: a[idx])
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(place, variables, specs)

@@ -44,10 +44,33 @@ def initialize_if_needed(coordinator: Optional[str] = None) -> bool:
     # Any failure here (unreachable coordinator, misconfigured cluster)
     # propagates — swallowing it would silently run every host as its own
     # single-host job (duplicate training, clobbered checkpoints).
-    jax.distributed.initialize(coordinator_address=coordinator)
+    # num_processes/process_id come from the environment when the launcher is
+    # not one jax auto-detects (TPU pod metadata / SLURM / OMPI are detected by
+    # jax.distributed itself; plain multi-process launches — e.g. the CPU
+    # multi-process tests — must export JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
     _DID_INIT = True
     return True
 
 
 def is_main_process() -> bool:
     return jax.process_index() == 0
+
+
+def global_max_int(value: int) -> int:
+    """Max of a host-side int across processes (single-process: identity).
+    Used where ranks must agree on a data-dependent static-ish quantity —
+    e.g. the global batch's longest prompt width, so every rank's stripe
+    tokenizes to the width the single-process run would use."""
+    if jax.process_count() == 1:
+        return int(value)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray([value], np.int64))
+    return int(gathered.max())

@@ -90,7 +90,7 @@ def make_scst_step(
     )
 
     @jax.jit
-    def rollout(variables, pixels, prompt_ids, prompt_mask, rng):
+    def rollout(variables, pixels, prompt_ids, prompt_mask, rng, prompt_logits_col=None):
         variables = _cast(variables)
         if compute_dtype is not None:
             pixels = pixels.astype(compute_dtype)
@@ -111,10 +111,11 @@ def make_scst_step(
             enc_hidden, enc_mask, prompt_ids, prompt_mask,
             rng if rng is not None else jax.random.PRNGKey(0),
             cache_segments=scst_cache_segments,
+            prompt_logits_col=prompt_logits_col,
         )
         return sampled, baseline, enc_hidden, enc_mask
 
-    def loss_fn(params, batch_stats, enc_hidden, enc_mask, prompt_len, seq, advantage):
+    def loss_fn(params, batch_stats, enc_hidden, enc_mask, prompt_len, first_col, seq, advantage):
         params = _cast(params)
         batch_stats = _cast(batch_stats)
         b, t = seq.shape
@@ -136,8 +137,13 @@ def make_scst_step(
             decoder_position_ids=pos,
             encoder_outputs=(enc_hidden, enc_mask),
         )
-        # logits[:, prompt_len-1 : t-1] generated tokens seq[:, prompt_len:]
-        gen_logits = logits[:, prompt_len - 1 : t - 1, :]
+        # The query issuing generated token seq[:, prompt_len + k] sits at
+        # column prompt_len + k - 1 for k >= 1; the FIRST token was issued by
+        # the prefill at ``first_col`` (= prompt_len - 1 for batch-longest
+        # padding; the true-longest column when the prompt is bucket-padded —
+        # the rollout's exactness rule, generate/decode.py:prompt_logits_col).
+        first = jax.lax.dynamic_slice_in_dim(logits, first_col, 1, axis=1)
+        gen_logits = jnp.concatenate([first, logits[:, prompt_len : t - 1, :]], axis=1)
         warped = warp_logits(
             gen_logits.astype(jnp.float32),
             gen_cfg_sample.temperature, gen_cfg_sample.top_k, gen_cfg_sample.top_p,
@@ -146,9 +152,10 @@ def make_scst_step(
         return reinforce_loss(warped, sampled_ids, advantage, pad_id)
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("prompt_len",))
-    def grad_step(state: TrainState, enc_hidden, enc_mask, prompt_len, seq, advantage):
+    def grad_step(state: TrainState, enc_hidden, enc_mask, prompt_len, first_col, seq, advantage):
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, state.batch_stats, enc_hidden, enc_mask, prompt_len, seq, advantage
+            state.params, state.batch_stats, enc_hidden, enc_mask, prompt_len, first_col,
+            seq, advantage
         )
         if trainable_mask is not None:
             grads = zero_frozen_grads(grads, trainable_mask)
@@ -168,13 +175,43 @@ class SCSTTrainer:
 
     reward_fn: (predictions, labels) → np.ndarray[B], e.g. reward.cxrbert.CXRBERTReward.
     split_fn: token_ids → (prev, findings, impression) strings, e.g. a closure over
-    encoder_decoder.split_and_decode_sections."""
+    encoder_decoder.split_and_decode_sections.
+
+    Multi-process (``mesh`` + ``row_range`` set — cli/stages.py:fit_scst): the
+    rollout/grad programs are global SPMD over the mesh; ``step`` receives this
+    process's row stripe of the host batch fields, pulls the same stripe out of
+    the rollout outputs for the host reward round-trip, and re-assembles the
+    advantage on the mesh. Logged reward/baseline means are allgathered so every
+    rank logs the GLOBAL means (identical to the single-process run)."""
 
     config: EncoderDecoderConfig
     rollout: Callable
     grad_step: Callable
     reward_fn: Callable
     split_fn: Callable
+    mesh: Optional[object] = None
+    row_range: Optional[Tuple[int, int]] = None
+
+    def _local_rows(self, arr) -> np.ndarray:
+        """This process's row stripe of a P('data')-sharded global array."""
+        if self.mesh is None:
+            return np.asarray(arr)
+        shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+        rows = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        assert rows.shape[0] == self.row_range[1] - self.row_range[0], (
+            rows.shape, self.row_range
+        )
+        return rows
+
+    def _global_batch(self, stripe: np.ndarray):
+        """Assemble a per-process row stripe into a global mesh array."""
+        if self.mesh is None:
+            return jnp.asarray(stripe)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, P("data")), stripe
+        )
 
     def step(
         self,
@@ -185,24 +222,41 @@ class SCSTTrainer:
         findings,
         impression,
         rng,
+        prompt_logits_col: Optional[int] = None,
     ) -> Tuple[TrainState, Dict[str, float], Tuple]:
+        """``prompt_logits_col``: true-longest column when the prompt is
+        bucket-padded beyond the batch longest (cli/stages.py buckets SCST
+        prompts to bound compile count); None = batch-longest padding."""
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        p_len = int(prompt_ids.shape[1])
+        first_col = np.int32(p_len - 1 if prompt_logits_col is None else prompt_logits_col)
         sampled, baseline, enc_hidden, enc_mask = self.rollout(
-            variables, pixels, jnp.asarray(prompt_ids), jnp.asarray(prompt_mask), rng
+            variables, pixels, jnp.asarray(prompt_ids), jnp.asarray(prompt_mask), rng,
+            first_col,
         )
-        sampled_np, baseline_np = np.asarray(sampled), np.asarray(baseline)
+        # host round-trip on THIS process's rows only (the stripe the loader
+        # materialised; `findings`/`impression` are already that stripe)
+        sampled_np, baseline_np = self._local_rows(sampled), self._local_rows(baseline)
         _, s_f, s_i = self.split_fn(sampled_np)
         _, b_f, b_i = self.split_fn(baseline_np)
         labels = [[f"{f} {i}"] for f, i in zip(findings, impression)]
         r_sample = self.reward_fn([f"{f} {i}" for f, i in zip(s_f, s_i)], labels)
         r_base = self.reward_fn([f"{f} {i}" for f, i in zip(b_f, b_i)], labels)
-        advantage = jnp.asarray(r_sample - r_base, jnp.float32)
+        advantage = self._global_batch(np.asarray(r_sample - r_base, np.float32))
         state, loss = self.grad_step(
-            state, enc_hidden, enc_mask, int(prompt_ids.shape[1]), sampled, advantage
+            state, enc_hidden, enc_mask, p_len, first_col, sampled, advantage
         )
+        adv_np, base_np = np.asarray(r_sample - r_base), np.asarray(r_base)
+        if self.mesh is not None and jax.process_count() > 1:
+            # log the GLOBAL means (ranks gather in rank order, so the mean sums
+            # the same values in the same order as the single-process run)
+            from jax.experimental import multihost_utils
+
+            adv_np = multihost_utils.process_allgather(adv_np).reshape(-1)
+            base_np = multihost_utils.process_allgather(base_np).reshape(-1)
         logs = {
             "scst_loss": float(loss),
-            "reward": float(np.mean(r_sample - r_base)),
-            "baseline": float(np.mean(r_base)),
+            "reward": float(np.mean(adv_np)),
+            "baseline": float(np.mean(base_np)),
         }
         return state, logs, (b_f, b_i)

@@ -763,18 +763,28 @@ def test_make_mesh_rejects_empty_mesh():
         make_mesh(None, 4, devices=np.empty((1,), object))
 
 
-def test_mesh_rejects_multihost(monkeypatch, tmp_path):
-    """mesh_data + multi-process would shard the batch twice (rank-strided
-    loader AND mesh data axis) — mesh_from_task must refuse
-    (docs/ARCHITECTURE.md 'Multi-host × mesh')."""
+def test_mesh_resolution_multihost(monkeypatch, tmp_path):
+    """Multi-process mesh resolution (docs/ARCHITECTURE.md 'Multi-host'):
+    eval-side `mesh_from_task` goes local (each process decodes its rank-strided
+    share — no global mesh), while `_fit_mesh` builds the global DP mesh over
+    ALL devices and refuses partial-device or TP configs (either would leave
+    some processes' devices out of the SPMD program). The real 2-process
+    behaviour is covered end-to-end in tests/test_multiprocess.py."""
     import jax
 
-    from cxrmate_tpu.cli.stages import mesh_from_task
+    from cxrmate_tpu.cli.stages import _fit_mesh, mesh_from_task
 
-    task = TaskConfig(mesh_data=2, exp_dir=str(tmp_path))
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    with pytest.raises(AssertionError, match="single-process"):
-        mesh_from_task(task)
+    assert mesh_from_task(TaskConfig(mesh_data=2, exp_dir=str(tmp_path))) is None
+
+    n = len(jax.devices())
+    mesh = _fit_mesh(TaskConfig(exp_dir=str(tmp_path)))
+    assert mesh.shape["data"] == n and mesh.shape["model"] == 1
+
+    with pytest.raises(AssertionError, match="ALL"):
+        _fit_mesh(TaskConfig(mesh_data=2, exp_dir=str(tmp_path)))
+    with pytest.raises(AssertionError, match="tensor parallelism"):
+        _fit_mesh(TaskConfig(mesh_model=2, exp_dir=str(tmp_path)))
 
 
 def test_fit_and_test_single_variant(synthetic_dataset):

@@ -202,3 +202,74 @@ def test_scst_rollout_segmented_cache_growth_is_inert():
         outs[spec] = (np.asarray(s), np.asarray(g))
     np.testing.assert_array_equal(outs[1][0], outs["3:4"][0])
     np.testing.assert_array_equal(outs[1][1], outs["3:4"][1])
+
+
+def test_scst_prompt_bucketing_is_inert():
+    """Bucket-padding the SCST prompt beyond the batch longest (what
+    cli/stages.py:fit_scst does to bound compile count, and what multi-process
+    SCST needs for rank-agreeing widths) must leave the whole step bit-exact:
+    rollout tokens, REINFORCE loss, and the updated parameters — provided the
+    first-token logits column is pinned to the true batch-longest width
+    (generate/decode.py:prompt_logits_col; train/scst.py first_col)."""
+    config = _config()
+    enc = init_cvt_variables(jax.random.PRNGKey(0), config.encoder)
+    dec = bert_mod.init_bert_params(jax.random.PRNGKey(1), config.decoder, lora=config.lora)
+    variables = {
+        "params": {"encoder": enc["params"], "decoder": dec},
+        "batch_stats": enc["batch_stats"],
+    }
+    mask = optim.mask_for_stage(variables["params"], "scst")
+    tx = optim.adamw(lr=1e-3, trainable_mask=mask)
+    gen_sample = GenerationConfig(
+        max_new_tokens=8, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        mask_token_id=PAD, special_token_ids=(BOS, SEP),
+        token_type_sections=(0, 1, 0, 1), do_sample=True, top_k=5,
+    )
+    gen_base = GenerationConfig(
+        max_new_tokens=8, bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD,
+        mask_token_id=PAD, special_token_ids=(PMT_SEP, BOS, SEP),
+        token_type_sections=(0, 1, 0, 1),
+    )
+    rollout, grad_step = make_scst_step(config, gen_sample, gen_base, tx, trainable_mask=mask)
+
+    def split_fn(token_ids):
+        n = token_ids.shape[0]
+        strs = [" ".join(str(t) for t in row if t not in (BOS, EOS, SEP, PAD)) for row in token_ids]
+        return ["" for _ in range(n)], strs, ["" for _ in range(n)]
+
+    def reward_fn(preds, labels):
+        return np.asarray([min(len(p), 10) / 10.0 for p in preds], np.float32)
+
+    trainer = SCSTTrainer(config, rollout, grad_step, reward_fn, split_fn)
+    rng = np.random.RandomState(5)
+    pixels = jnp.asarray(rng.randn(2, 2, 3, 32, 32), jnp.float32)
+    prompt = np.full((2, 6), PAD, np.int32)
+    prompt[0, :3] = [50, PMT_SEP, BOS]
+    prompt[1, :6] = [50, 51, PMT_SEP, 52, 53, BOS]
+    pmask = (prompt != PAD).astype(np.int32)
+    true_width = prompt.shape[1]
+    pad_cols = 7  # bucket width 13: deliberately not a multiple of anything
+    prompt_b = np.pad(prompt, ((0, 0), (0, pad_cols)), constant_values=PAD)
+    pmask_b = np.pad(pmask, ((0, 0), (0, pad_cols)), constant_values=0)
+
+    results = {}
+    for tag, (ids, msk, col) in {
+        "plain": (prompt, pmask, None),
+        "bucketed": (prompt_b, pmask_b, true_width - 1),
+    }.items():
+        # fresh copies — grad_step donates the state, which aliases `variables`
+        state = create_train_state(jax.tree_util.tree_map(jnp.array, variables), tx)
+        new_state, logs, (bf, bi) = trainer.step(
+            state, pixels, ids, msk,
+            findings=["clear lungs", "stable"], impression=["no change", "normal"],
+            rng=jax.random.PRNGKey(23), prompt_logits_col=col,
+        )
+        # generated suffix of the rollout, via the baseline strings + loss
+        results[tag] = (logs["scst_loss"], logs["reward"], tuple(bf),
+                        jax.tree_util.tree_map(np.asarray, new_state.params["decoder"]))
+    assert results["plain"][0] == results["bucketed"][0]
+    assert results["plain"][1] == results["bucketed"][1]
+    assert results["plain"][2] == results["bucketed"][2]
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, results["plain"][3], results["bucketed"][3]
+    )
