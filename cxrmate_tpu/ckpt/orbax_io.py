@@ -78,36 +78,46 @@ def save_checkpoint(
             with open(os.path.join(ckpt_path, name), "w") as f:
                 f.write(content)
 
+    def _sync(name: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
+
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
     _write_meta(path)
-    index_path = os.path.join(exp_dir_trial, "checkpoints", "index.json")
-    index = {}
-    if os.path.exists(index_path):
-        with open(index_path) as f:
-            index = json.load(f)
-    index[tag] = {"epoch": epoch, "monitor": monitor, "value": monitor_value}
-    if monitor_value is not None and keep_top_k > 0:
-        scored = [(k, v) for k, v in index.items() if v.get("value") is not None]
-        reverse = mode == "max"
-        scored.sort(key=lambda kv: kv[1]["value"], reverse=reverse)
-        for k, _ in scored[keep_top_k:]:
-            victim = _ckpt_dir(exp_dir_trial, k)
-            if rank0 and os.path.exists(victim):
-                import shutil
-
-                shutil.rmtree(victim)
-            index.pop(k, None)
-    if rank0:
-        with open(index_path, "w") as f:
-            json.dump(index, f, indent=1)
-    # also maintain a Lightning-style "last" checkpoint for resume_last
+    # every rank's sidecar must land before rank 0 may prune any checkpoint
+    # (a worse-scoring mid-epoch save can be its own prune victim)
+    _sync("ckpt-meta")
     last_path = _ckpt_dir(exp_dir_trial, "last")
-    if rank0 and os.path.exists(last_path):
+    if rank0:
+        # the index is rank-0's alone: read, score, prune, rewrite
         import shutil
 
-        shutil.rmtree(last_path)
+        index_path = os.path.join(exp_dir_trial, "checkpoints", "index.json")
+        index = {}
+        if os.path.exists(index_path):
+            with open(index_path) as f:
+                index = json.load(f)
+        index[tag] = {"epoch": epoch, "monitor": monitor, "value": monitor_value}
+        if monitor_value is not None and keep_top_k > 0:
+            scored = [(k, v) for k, v in index.items() if v.get("value") is not None]
+            reverse = mode == "max"
+            scored.sort(key=lambda kv: kv[1]["value"], reverse=reverse)
+            for k, _ in scored[keep_top_k:]:
+                victim = _ckpt_dir(exp_dir_trial, k)
+                if os.path.exists(victim):
+                    shutil.rmtree(victim)
+                index.pop(k, None)
+        with open(index_path, "w") as f:
+            json.dump(index, f, indent=1)
+        # also maintain a Lightning-style "last" checkpoint for resume_last
+        if os.path.exists(last_path):
+            shutil.rmtree(last_path)
+    # rank 0's rmtree of last/ must finish before any rank re-saves it
+    _sync("ckpt-prune")
     ckptr.save(os.path.abspath(last_path), state, force=True)
     ckptr.wait_until_finished()
     if rank0:

@@ -124,9 +124,15 @@ class TaskConfig:
     mesh_data: Optional[int] = None
     mesh_model: int = 1
     # pad every TF batch to the static decoder/prompt budgets instead of the
-    # batch longest (bit-identical loss — pad keys/labels are masked; one XLA
-    # program per stage). Forced on in multi-process runs, where every process
-    # must tokenize ITS row stripe to the same global widths.
+    # batch longest (one XLA program per stage). Pad keys/labels are masked:
+    # for fixed dropout masks, losses/updates agree to fp32 ulp-level
+    # reduction-order noise
+    # (tests/test_cli_end_to_end.py::test_static_tf_pad_is_loss_inert); under
+    # live dropout the mask DRAWS are shape-dependent, so a static-pad run is
+    # distributionally — not bitwise — equivalent to a dynamic-pad run
+    # (docs/ARCHITECTURE.md "Static TF padding × dropout"). Forced on in
+    # multi-process runs, where every process must tokenize ITS row stripe to
+    # the same global widths.
     static_tf_pad: bool = False
 
     # model preset: "cxrmate" (CvT-21@384 + 6L BERT) or "tiny" (smoke tests)

@@ -87,8 +87,11 @@ def mesh_from_task(task: TaskConfig):
     This is the EVAL-side resolution: in multi-process runs it returns None —
     evaluation is embarrassingly parallel (each process decodes its rank-strided
     share on its local devices with a host copy of the replicated params; metric
-    rows are gathered with ``process_allgather``, eval/metrics.py). Training
-    stages use ``_fit_mesh``, which in multi-process runs builds the global
+    rows are gathered with ``process_allgather``, eval/metrics.py). Exception:
+    generated-prompt datasets are never rank-strided (history order), so every
+    process decodes them WHOLE and the metric layer dedups the duplicate rows —
+    redundant work, accepted for correctness (see evaluate()). Training stages
+    use ``_fit_mesh``, which in multi-process runs builds the global
     data-parallel mesh instead."""
     from cxrmate_tpu.parallel.mesh import make_mesh
 
@@ -188,7 +191,7 @@ def resolve_warm_start(task: TaskConfig, config, variables: Dict) -> Dict:
     # explicit paths win when they exist
     if name and not os.path.exists(name):
         zoo_name = os.path.join(task.ckpt_zoo_dir, name)
-        if os.path.isdir(zoo_name):
+        if os.path.exists(zoo_name):  # dir (HF export) or file (torch .ckpt)
             name = zoo_name
     if name and os.path.isdir(name):
         sd = orbax_io.load_hf_pretrained_dir(name)
@@ -392,7 +395,10 @@ def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: D
         # generated-prompt datasets read history written back during consumption —
         # never prefetch or parallel-decode them (reference: num_workers=0,
         # gen_prompt.py:66-82), and never rank-stride them (a subject's earlier
-        # study must be decoded before its later one is prompted, on one rank)
+        # study must be decoded before its later one is prompted, on one rank).
+        # Multi-process cost: every process decodes this dataset WHOLE and the
+        # metric layer dedups — redundant but correct; subject-granular striding
+        # is the future fix if gen-prompt eval ever dominates
         it = batch_iterator(dataset, task.mbatch_size, max_images=_collate_max_images(task))
     else:
         # rank-strided like the train loader: each process decodes its share
@@ -558,16 +564,12 @@ def _resolve_fit_resume(task: TaskConfig, state, mesh=None):
     return state, epoch + 1, 0, gstep, resume_path
 
 
-def _mid_epoch_schedule(task: TaskConfig, dataset_len: int, world_size: int = 1):
+def _mid_epoch_schedule(task: TaskConfig, dataset_len: int):
     """(val_every, total_batches) for Lightning's fractional val_check_interval;
-    (None, total) when validation is epoch-end only.
-
-    ``world_size`` is 1 for the global-batch schedules (fit on a mesh counts
-    GLOBAL batches — every process sees the same count) and
-    ``jax.process_count()`` for rank-strided loaders (SCST's per-rank lanes),
-    where the position is counted in per-rank batches."""
-    per_rank = len(range(0, dataset_len, world_size))
-    total_batches = max(1, per_rank // task.mbatch_size)  # drop_last
+    (None, total) when validation is epoch-end only. Positions are counted in
+    GLOBAL batches (``mbatch_size`` is the global batch; every fit — mesh,
+    multi-process, or single-device — iterates the same global schedule)."""
+    total_batches = max(1, dataset_len // task.mbatch_size)  # drop_last
     if task.val_check_interval and task.val_check_interval < 1.0:
         return max(1, int(task.val_check_interval * total_batches)), total_batches
     return None, total_batches
@@ -731,6 +733,7 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
     variant 'scst_gt' (reference scst/gt_prompt.py:8-255, GTPromptCXRBERT):
     ground-truth prompts, ordinary shuffled batching, no history writes."""
     from cxrmate_tpu.parallel.mesh import host_copy, local_row_range, place_batch
+    from cxrmate_tpu.parallel.multihost import global_max_int
     from cxrmate_tpu.train.scst import SCSTTrainer, make_scst_step
 
     tokenizer = load_tokenizer(task)
@@ -909,8 +912,6 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
                 # true longest is the GLOBAL batch's (what the single-process
                 # run would pad to), so stripes whose own longest is shorter
                 # pad up to it before bucketing
-                from cxrmate_tpu.parallel.multihost import global_max_int
-
                 g_width = global_max_int(true_width)
                 if g_width > true_width:
                     pad = g_width - true_width

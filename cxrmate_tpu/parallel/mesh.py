@@ -37,6 +37,18 @@ def batch_spec() -> P:
     return P("data")
 
 
+def _global_from_host(x, sharding: NamedSharding):
+    """Place a host value every process holds IN FULL onto a (possibly
+    multi-process) sharding. Single-process: plain device_put. Multi-process:
+    device_put cannot target non-addressable devices, so the global array is
+    assembled shard-by-shard from the identical host copy (deterministic init,
+    shared-filesystem checkpoint loads, replicated scalars)."""
+    a = np.asarray(x)
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(a.shape, sharding, lambda idx, a=a: a[idx])
+    return jax.device_put(a, sharding)
+
+
 def place_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
     """Place a host batch dict on the mesh, sharded along the 'data' axis (the
     DDP analogue: each device gets its slice; gradient reductions become psum
@@ -56,15 +68,11 @@ def place_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
         arr = np.asarray(v)
         spec = P("data") if arr.ndim else P()
         sharding = NamedSharding(mesh, spec)
-        if multiprocess:
-            if arr.ndim:
-                out[k] = jax.make_array_from_process_local_data(sharding, arr)
-            else:  # replicated scalar: every process passes the same full value
-                out[k] = jax.make_array_from_callback(
-                    arr.shape, sharding, lambda idx, a=arr: a[idx]
-                )
-        else:
-            out[k] = jax.device_put(arr, sharding)
+        if multiprocess and arr.ndim:
+            # each process passes only its row stripe
+            out[k] = jax.make_array_from_process_local_data(sharding, arr)
+        else:  # scalars are replicated: every process passes the same value
+            out[k] = _global_from_host(arr, sharding)
     return out
 
 
@@ -112,14 +120,7 @@ def replicate_tree(tree, mesh: Mesh):
     Every process must pass identical values (deterministic init / checkpoint
     restore from the shared filesystem)."""
     sharding = NamedSharding(mesh, P())
-
-    def one(x):
-        a = np.asarray(x)
-        if jax.process_count() > 1:
-            return jax.make_array_from_callback(a.shape, sharding, lambda idx, a=a: a[idx])
-        return jax.device_put(a, sharding)
-
-    return jax.tree_util.tree_map(one, tree)
+    return jax.tree_util.tree_map(lambda x: _global_from_host(x, sharding), tree)
 
 
 def pad_to_multiple(arr: np.ndarray, multiple: int) -> np.ndarray:
@@ -230,16 +231,10 @@ def _feasible_spec(x, spec: P, mesh: Mesh) -> P:
 
 def shard_variables(variables: dict, mesh: Mesh, tp: bool = True) -> dict:
     specs = variables_specs(variables, tp=tp)
-    multiprocess = jax.process_count() > 1
 
     def place(x, s):
-        sharding = NamedSharding(mesh, _feasible_spec(x, s, mesh))
-        if multiprocess:
-            # device_put cannot target non-addressable devices; every process
-            # holds the full host value (deterministic init / shared-FS load),
-            # so assemble the global array shard-by-shard from it
-            a = np.asarray(x)
-            return jax.make_array_from_callback(a.shape, sharding, lambda idx, a=a: a[idx])
-        return jax.device_put(x, sharding)
+        # every process holds the full host value (deterministic init /
+        # shared-FS load), so _global_from_host covers multi-process placement
+        return _global_from_host(x, NamedSharding(mesh, _feasible_spec(x, s, mesh)))
 
     return jax.tree_util.tree_map(place, variables, specs)

@@ -787,6 +787,89 @@ def test_mesh_resolution_multihost(monkeypatch, tmp_path):
         _fit_mesh(TaskConfig(mesh_model=2, exp_dir=str(tmp_path)))
 
 
+def test_static_tf_pad_is_loss_inert(synthetic_dataset):
+    """``static_tf_pad`` pads TF batches to the static budgets instead of the
+    batch longest (cli/config.py; forced on in multi-process fit, where every
+    rank's stripe must agree on widths). With the dropout draws held fixed
+    (zeroed here — mask draws are shape-dependent, so under live dropout the
+    equivalence is distributional, docs/ARCHITECTURE.md): pad keys/labels/types
+    are masked out of attention and the CE, so the loss and the one-step
+    parameter update must agree to fp32 ulp-level reduction-order noise — the
+    padded time axis adds exact-zero terms that re-associate XLA's reduction
+    trees (attention weighted sums, bias/LayerNorm grad sums), and AdamW's
+    g/(sqrt(v)+eps) amplifies that for tiny g. Measured: loss ≤1e-7 relative
+    (bit-equal for report-only padding), params ≤2e-5."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.cli.stages import build_model_config, init_variables, load_tokenizer
+    from cxrmate_tpu.train import optim
+    from cxrmate_tpu.train.tf_trainer import (
+        build_tf_batch,
+        create_train_state,
+        make_train_step,
+    )
+
+    root = synthetic_dataset
+    rng = np.random.RandomState(0)
+    for variant in ("multi", "gt_prompt"):
+        task = _task(root, variant)
+        tokenizer = load_tokenizer(task)
+        config = build_model_config(task, len(tokenizer))
+        config = dc.replace(
+            config,
+            encoder=dc.replace(
+                config.encoder,
+                attention_drop_rate=(0.0,) * len(config.encoder.attention_drop_rate),
+                drop_rate=(0.0,) * len(config.encoder.drop_rate),
+                drop_path_rate=(0.0,) * len(config.encoder.drop_path_rate),
+            ),
+            decoder=dc.replace(
+                config.decoder, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0
+            ),
+            lora=dc.replace(config.lora, dropout=0.0) if config.lora else None,
+        )
+        variables = init_variables(task, config)
+        mask = optim.mask_for_stage(variables["params"], task.variant)
+        tx = optim.adamw(1e-3, trainable_mask=mask)
+        step = make_train_step(config, tx, trainable_mask=mask,
+                               pad_id=tokenizer.pad_token_id)
+        images = rng.randn(2, 2, 3, task.image_size, task.image_size).astype(np.float32)
+        findings = ["clear lungs bilaterally", "stable appearance"]
+        impression = ["no acute disease", "no change"]
+        prev = ((None, "prior effusion"), (None, "improving")) \
+            if variant == "gt_prompt" else (None, None)
+        pad_modes = {
+            "dynamic": {},
+            "static": dict(
+                pad_report_to=config.decoder_max_len,
+                pad_prompt_to=config.prompt_max_len if variant == "gt_prompt" else None,
+            ),
+        }
+        results = {}
+        for tag, pads in pad_modes.items():
+            batch = build_tf_batch(tokenizer, config, images, findings, impression,
+                                   *prev, **pads)
+            state = create_train_state(
+                jax.tree_util.tree_map(jnp.array, variables), tx  # step donates
+            )
+            state, loss = step(
+                state, {k: jnp.asarray(v) for k, v in batch.items()},
+                jax.random.PRNGKey(3),
+            )
+            results[tag] = (float(loss), jax.tree_util.tree_map(np.asarray, state.params))
+        np.testing.assert_allclose(
+            results["dynamic"][0], results["static"][0], rtol=1e-6, err_msg=variant
+        )
+        jax.tree_util.tree_map(
+            # AdamW's g/(sqrt(v)+eps) amplifies ulp-level grad noise for tiny g
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-7),
+            results["dynamic"][1], results["static"][1],
+        )
+
+
 def test_fit_and_test_single_variant(synthetic_dataset):
     """The single (per-DICOM) variant end-to-end: the CLI collate stacks to
     [B, 1, 3, H, W] and the model boundary squeezes it — a max-images padded

@@ -84,6 +84,7 @@ def _spawn(num_processes: int, stage: str, task_kwargs: dict, devices_per_proc: 
         logs[p].seek(0)
         outs.append(logs[p].read())
         logs[p].close()
+        os.unlink(logs[p].name)  # content is captured in outs (and assert msgs)
     for p, (proc, out) in enumerate(zip(procs, outs)):
         assert proc.returncode == 0, f"worker {p} failed:\n{out}"
         assert "WORKER_OK" in out, f"worker {p} did not report OK:\n{out}"
