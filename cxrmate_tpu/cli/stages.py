@@ -87,10 +87,9 @@ def mesh_from_task(task: TaskConfig):
     This is the EVAL-side resolution: in multi-process runs it returns None —
     evaluation is embarrassingly parallel (each process decodes its rank-strided
     share on its local devices with a host copy of the replicated params; metric
-    rows are gathered with ``process_allgather``, eval/metrics.py). Exception:
-    generated-prompt datasets are never rank-strided (history order), so every
-    process decodes them WHOLE and the metric layer dedups the duplicate rows —
-    redundant work, accepted for correctness (see evaluate()). Training stages
+    rows are gathered with ``process_allgather``, eval/metrics.py). Generated-
+    prompt datasets stride by LANE instead of by row (a subject's history
+    thread must stay on one rank in step order — see evaluate()). Training stages
     use ``_fit_mesh``, which in multi-process runs builds the global
     data-parallel mesh instead."""
     from cxrmate_tpu.parallel.mesh import make_mesh
@@ -234,8 +233,8 @@ def make_datasets(task: TaskConfig, split: str, train: bool):
         scst_generated=task.variant == "scst" and train and split == "train",
         mbatch_size=task.mbatch_size,
         # lanes are always GLOBAL: generated-prompt datasets are never
-        # rank-strided (eval decodes them whole on every process; SCST training
-        # iterates the global lane schedule and stripes each batch by row —
+        # ROW-strided (eval strides by lane; SCST training iterates the global
+        # lane schedule and stripes each batch by row —
         # docs/ARCHITECTURE.md 'Multi-host'). The reference's DDP instead
         # rank-strides with world-sized lane packs (data/prompt.py:142-213);
         # world 1 here makes multi-process runs reproduce the single-process
@@ -394,12 +393,22 @@ def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: D
     if getattr(dataset, "use_generated", False):
         # generated-prompt datasets read history written back during consumption —
         # never prefetch or parallel-decode them (reference: num_workers=0,
-        # gen_prompt.py:66-82), and never rank-stride them (a subject's earlier
+        # gen_prompt.py:66-82), and never ROW-stride them (a subject's earlier
         # study must be decoded before its later one is prompted, on one rank).
-        # Multi-process cost: every process decodes this dataset WHOLE and the
-        # metric layer dedups — redundant but correct; subject-granular striding
-        # is the future fix if gen-prompt eval ever dominates
-        it = batch_iterator(dataset, task.mbatch_size, max_images=_collate_max_images(task))
+        # Multi-process: stride by LANE instead — the dataset order is the
+        # allocator's step-major lane interleave (index = step·lanes + lane)
+        # and a subject occupies ONE lane, so rank r decoding lanes r::world
+        # in step order preserves every subject's history thread; the metric
+        # layer gathers the disjoint per-rank row sets.
+        order, batch_rows = None, task.mbatch_size
+        if jax.process_count() > 1:
+            lanes = dataset.mbatch_size or task.mbatch_size
+            my_lanes = range(jax.process_index(), lanes, jax.process_count())
+            steps = len(dataset) // lanes
+            order = [s * lanes + j for s in range(steps) for j in my_lanes]
+            batch_rows = max(1, len(my_lanes))
+        it = batch_iterator(dataset, batch_rows, order=order,
+                            max_images=_collate_max_images(task))
     else:
         # rank-strided like the train loader: each process decodes its share
         # and _gather_rows reassembles (single-process runs are unaffected).

@@ -41,6 +41,7 @@ def batch_iterator(
     skip_batches: int = 0,
     sort_key: Optional[Sequence] = None,
     row_shard: Optional[Tuple[int, int]] = None,
+    order: Optional[Sequence[int]] = None,
 ) -> Iterator[Dict]:
     """Sequential (or shuffled) batches; with world_size > 1, rank r takes strided
     samples like a DistributedSampler(shuffle=False). ``num_workers`` > 0 decodes a
@@ -58,15 +59,28 @@ def batch_iterator(
     (``parallel.mesh.local_row_range``); ``place_batch`` reassembles the global
     batch on the mesh. Mutually exclusive with rank/world striding; ragged
     final batches are always dropped (a partial batch has no well-defined
-    stripe)."""
+    stripe).
+
+    ``order`` (explicit index sequence): the caller dictates exactly which
+    items in which order — lane-strided multi-process eval of generated-prompt
+    datasets builds a per-rank order over its own lanes (cli/stages.py:
+    evaluate). Excludes every other ordering mechanism."""
     assert row_shard is None or world_size == 1, "row_shard excludes rank striding"
-    order = np.arange(len(dataset))
-    if shuffle:
-        np.random.RandomState(seed).shuffle(order)
-    elif sort_key is not None:
-        assert len(sort_key) == len(dataset), (len(sort_key), len(dataset))
-        order = order[np.argsort(np.asarray(sort_key), kind="stable")]
-    order = order[rank::world_size]
+    if order is not None:
+        # explicit index order (lane-strided multi-process eval of
+        # generated-prompt datasets, cli/stages.py:evaluate) — the caller owns
+        # the ordering, so every other ordering mechanism must be off
+        assert not shuffle and sort_key is None and world_size == 1 \
+            and row_shard is None and not skip_batches
+        order = np.asarray(order, dtype=np.int64)
+    else:
+        order = np.arange(len(dataset))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        elif sort_key is not None:
+            assert len(sort_key) == len(dataset), (len(sort_key), len(dataset))
+            order = order[np.argsort(np.asarray(sort_key), kind="stable")]
+        order = order[rank::world_size]
     if skip_batches:
         order = order[skip_batches * batch_size :]
     pool = None

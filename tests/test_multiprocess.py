@@ -262,3 +262,95 @@ def test_multiprocess_scst_matches_single_process(tmp_path_factory):
     for a, b in zip(ref_leaves, mp_leaves):
         np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_multiprocess_gen_prompt_test_stage_matches_single_process(tmp_path_factory):
+    """2-process --test on the generated-prompt (flagship) variant: each process
+    decodes only the subject LANES it owns — a subject's studies stay on one
+    rank in step order, so the history threading is preserved — and the metric
+    layer gathers the disjoint row sets. Scores and reports must equal the
+    single-process run's."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    root = tmp_path_factory.mktemp("mp_genprompt")
+    # test split: 4 subjects x 2 studies on 4 eval lanes (mbatch 4)
+    build_synthetic_dataset(str(root), n_train=8, n_val=4, n_test=8,
+                            studies_per_subject=2)
+
+    # train a longitudinal model to test from (gt_prompt fit, single-process)
+    fit_kwargs = _task_kwargs(root, "exp_gp_fit", variant="gt_prompt", mbatch_size=4)
+    stages.fit(TaskConfig(**fit_kwargs))
+    ckpt = orbax_io.last_checkpoint(TaskConfig(**fit_kwargs).exp_dir_trial)
+
+    common = dict(variant="gen_prompt", test_ckpt_path=ckpt, mbatch_size=4,
+                  num_test_beams=1)
+    ref_kwargs = _task_kwargs(root, "exp_gp_ref", **common)
+    ref_scores = {k: float(v) for k, v in stages.test(TaskConfig(**ref_kwargs)).items()}
+
+    mp_kwargs = _task_kwargs(root, "exp_gp_mp", **common)
+    outs = _spawn(2, "test", mp_kwargs)
+    blob = [l for l in outs[0].splitlines() if l.startswith("SCORES_JSON=")]
+    assert blob, f"rank 0 printed no scores:\n{outs[0]}"
+    mp_scores = json.loads(blob[0][len("SCORES_JSON="):])
+
+    assert set(mp_scores) == set(ref_scores)
+    for k, v in ref_scores.items():
+        assert mp_scores[k] == pytest.approx(v, rel=1e-4), k
+
+    def reports(exp_kwargs):
+        d = os.path.join(TaskConfig(**exp_kwargs).exp_dir_trial, "generated_reports")
+        (f,) = os.listdir(d)
+        return pd.read_csv(os.path.join(d, f)).sort_values("study_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(reports(ref_kwargs), reports(mp_kwargs))
+
+
+def test_scst_mid_epoch_resume_across_world_change(tmp_path_factory):
+    """A 2-process SCST run's MID-epoch checkpoint resumes single-process
+    (global_schedule marks mesh checkpoints world-change-safe; the
+    generated-prompt history is the union of the per-rank sidecars) and the
+    completed run matches an uninterrupted single-process run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import glob as globmod
+
+    from mp_worker import dummy_reward
+
+    root = tmp_path_factory.mktemp("mp_scst_resume")
+    build_synthetic_dataset(str(root), n_train=16, n_val=16, n_test=2,
+                            studies_per_subject=2)
+
+    # gold: uninterrupted single-process run with a mid-epoch validation
+    gold_kwargs = _task_kwargs(root, "exp_gold", variant="scst", mesh_data=8,
+                               val_check_interval=0.5)
+    stages.fit_scst(TaskConfig(**gold_kwargs), dummy_reward)
+
+    # 2-process run with the same schedule → mid-epoch ckpt with per-rank sidecars
+    mp_kwargs = _task_kwargs(root, "exp_mp", variant="scst", val_check_interval=0.5)
+    _spawn(2, "fit_scst", mp_kwargs)
+    mp_trial = TaskConfig(**mp_kwargs).exp_dir_trial
+    (mid_ckpt,) = globmod.glob(os.path.join(mp_trial, "checkpoints", "epoch=0-step=*"))
+    info = orbax_io.checkpoint_resume_info(mid_ckpt)
+    assert info["global_schedule"] is True and info["world_size"] == 2
+    sidecars = [n for n in os.listdir(mid_ckpt) if n.startswith("scst_history.rank")]
+    assert sorted(sidecars) == ["scst_history.rank0.json", "scst_history.rank1.json"]
+
+    # resume the mid-epoch checkpoint SINGLE-process (world 2 → 1): trains the
+    # epoch remainder and must land on the gold run's final state
+    resume_kwargs = dict(mp_kwargs, mesh_data=8, resume_ckpt_path=mid_ckpt)
+    stages.fit_scst(TaskConfig(**resume_kwargs), dummy_reward)
+
+    gold_state = orbax_io.restore_checkpoint(
+        orbax_io.last_checkpoint(TaskConfig(**gold_kwargs).exp_dir_trial), None)
+    res_state = orbax_io.restore_checkpoint(orbax_io.last_checkpoint(mp_trial), None)
+    gold_leaves, treedef_g = jax.tree_util.tree_flatten(gold_state["params"])
+    res_leaves, treedef_s = jax.tree_util.tree_flatten(res_state["params"])
+    assert treedef_g == treedef_s
+    for a, b in zip(gold_leaves, res_leaves):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-6)
+    # the resumed run restarted INSIDE epoch 0 at the saved position
+    final_info = orbax_io.checkpoint_resume_info(orbax_io.last_checkpoint(mp_trial))
+    gold_info = orbax_io.checkpoint_resume_info(
+        orbax_io.last_checkpoint(TaskConfig(**gold_kwargs).exp_dir_trial))
+    assert final_info["global_step"] == gold_info["global_step"]
