@@ -99,6 +99,9 @@ class TaskConfig:
     val_check_interval: Optional[float] = None
     monitor: str = "val_report_chexbert_f1_macro"
     monitor_mode: str = "max"
+    # checkpoints retained per monitored metric (Lightning ModelCheckpoint
+    # save_top_k: reference trainer default 1; <=0 keeps every checkpoint)
+    save_top_k: int = 1
     precision: str = "bf16"
     num_workers: int = 5
 

@@ -402,7 +402,14 @@ def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: D
         # layer gathers the disjoint per-rank row sets.
         order, batch_rows = None, task.mbatch_size
         if jax.process_count() > 1:
-            lanes = dataset.mbatch_size or task.mbatch_size
+            # The striding below is only sound under the allocator invariants
+            # (dataset order IS the lane interleave, every lane fully
+            # populated); fail loudly rather than silently splitting a
+            # subject's history thread across ranks or floor-dropping rows.
+            lanes = dataset.mbatch_size
+            assert lanes and len(dataset) % lanes == 0, (
+                f"lane-strided eval needs an allocator-interleaved dataset: "
+                f"mbatch_size={lanes!r}, len={len(dataset)}")
             my_lanes = range(jax.process_index(), lanes, jax.process_count())
             steps = len(dataset) // lanes
             order = [s * lanes + j for s in range(steps) for j in my_lanes]
@@ -666,7 +673,8 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
         monitor_value, monitor_key = resolve_monitor(scores, task.monitor)
         _checkpoint_state(
             task, state, epoch, monitor_value,
-            monitor=monitor_key or task.monitor, mode=task.monitor_mode, step=step,
+            monitor=monitor_key or task.monitor, mode=task.monitor_mode,
+            keep_top_k=task.save_top_k, step=step,
             n_batches=n_batches, global_step=gstep,
             mbatch_size=task.mbatch_size, world_size=jax.process_count(),
             global_schedule=mesh is not None,
@@ -858,7 +866,8 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
             extra_files = {history_sidecar: _json.dumps(train_set.export_generated())}
         _checkpoint_state(
             task, state, epoch, monitor_value,
-            monitor=monitor_key or task.monitor, mode=task.monitor_mode, step=step,
+            monitor=monitor_key or task.monitor, mode=task.monitor_mode,
+            keep_top_k=task.save_top_k, step=step,
             n_batches=n_batches, global_step=gstep, extra_files=extra_files,
             mbatch_size=task.mbatch_size, world_size=jax.process_count(),
             global_schedule=mesh is not None,

@@ -320,6 +320,46 @@ def test_resume_and_test_ckpt_resolution(tmp_path):
     assert orbax_io.checkpoint_epoch_from_path(explicit) == 0
 
 
+def test_save_checkpoint_top_k_pruning(tmp_path):
+    """ModelCheckpoint save_top_k semantics (TaskConfig.save_top_k →
+    orbax_io.save_checkpoint keep_top_k): top-1 keeps only the best-scoring
+    tag, top-2 keeps two, <=0 keeps every save (the world-change SCST resume
+    test depends on a mid-epoch save surviving regardless of its score)."""
+    from cxrmate_tpu.ckpt import orbax_io
+
+    def saved(exp):
+        return sorted(
+            d for d in os.listdir(os.path.join(exp, "checkpoints"))
+            if d.startswith("epoch=")
+        )
+
+    state = {"params": {"w": np.zeros(2, np.float32)}}
+    scores = [(0, 0.3), (1, 0.5), (2, 0.1)]
+
+    exp1 = str(tmp_path / "top1")
+    for epoch, value in scores:
+        orbax_io.save_checkpoint(exp1, state, epoch, value, monitor="m", keep_top_k=1)
+    assert saved(exp1) == ["epoch=1-m=0.500000"]
+
+    exp2 = str(tmp_path / "top2")
+    for epoch, value in scores:
+        orbax_io.save_checkpoint(exp2, state, epoch, value, monitor="m", keep_top_k=2)
+    assert saved(exp2) == ["epoch=0-m=0.300000", "epoch=1-m=0.500000"]
+
+    exp0 = str(tmp_path / "keep_all")
+    for epoch, value in scores:
+        orbax_io.save_checkpoint(exp0, state, epoch, value, monitor="m", keep_top_k=0)
+    assert saved(exp0) == [
+        "epoch=0-m=0.300000", "epoch=1-m=0.500000", "epoch=2-m=0.100000"
+    ]
+    # min mode prunes the other direction
+    expm = str(tmp_path / "min_mode")
+    for epoch, value in scores:
+        orbax_io.save_checkpoint(expm, state, epoch, value, monitor="m",
+                                 keep_top_k=1, mode="min")
+    assert saved(expm) == ["epoch=2-m=0.100000"]
+
+
 @pytest.fixture(scope="module")
 def mesh_dataset(tmp_path_factory):
     """Bigger synthetic dataset (16 train studies) so a dp=8 mesh gets a full

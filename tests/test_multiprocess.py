@@ -212,6 +212,45 @@ def test_multiprocess_test_stage_matches_single_process(mp_env):
     pd.testing.assert_frame_equal(rr, mr)
 
 
+def test_multiprocess_gt_prompt_fit_matches_single_process(tmp_path_factory):
+    """2-process longitudinal gt_prompt fit (LoRA-only trainable mask, prompt
+    concatenation tokenized to the static prompt budget on each row stripe)
+    matches the single-process dp8 mesh run: losses, val scores, and the
+    checkpointed params."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    root = tmp_path_factory.mktemp("mp_gt_prompt")
+    build_synthetic_dataset(str(root), n_train=16, n_val=2, n_test=2,
+                            studies_per_subject=2)
+
+    ref_kwargs = _task_kwargs(root, "exp_ref", variant="gt_prompt", mesh_data=8)
+    stages.fit(TaskConfig(**ref_kwargs))
+    mp_kwargs = _task_kwargs(root, "exp_mp", variant="gt_prompt")
+    _spawn(2, "fit", mp_kwargs)
+
+    ref = _metric_records(TaskConfig(**ref_kwargs).exp_dir_trial)
+    mp = _metric_records(TaskConfig(**mp_kwargs).exp_dir_trial)
+    ref_losses, mp_losses = _train_losses(ref), _train_losses(mp)
+    assert len(mp_losses) == len(ref_losses) >= 1
+    np.testing.assert_allclose(mp_losses, ref_losses, rtol=2e-5)
+    ref_val = [r for r in ref if "train_loss" not in r]
+    mp_val = [r for r in mp if "train_loss" not in r]
+    assert len(mp_val) == len(ref_val) == 1
+    for k, v in ref_val[0].items():
+        assert mp_val[0][k] == pytest.approx(v, rel=1e-4), k
+
+    ref_state = orbax_io.restore_checkpoint(
+        orbax_io.last_checkpoint(TaskConfig(**ref_kwargs).exp_dir_trial), None)
+    mp_state = orbax_io.restore_checkpoint(
+        orbax_io.last_checkpoint(TaskConfig(**mp_kwargs).exp_dir_trial), None)
+    ref_leaves, treedef_r = jax.tree_util.tree_flatten(ref_state["params"])
+    mp_leaves, treedef_m = jax.tree_util.tree_flatten(mp_state["params"])
+    assert treedef_r == treedef_m
+    for a, b in zip(ref_leaves, mp_leaves):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_multiprocess_scst_matches_single_process(tmp_path_factory):
     """2-process SCST (variant 'scst': generated-prompt lanes + history
     threading). Lanes are GLOBAL (allocator world 1), each process materialises
@@ -325,8 +364,12 @@ def test_scst_mid_epoch_resume_across_world_change(tmp_path_factory):
                                val_check_interval=0.5)
     stages.fit_scst(TaskConfig(**gold_kwargs), dummy_reward)
 
-    # 2-process run with the same schedule → mid-epoch ckpt with per-rank sidecars
-    mp_kwargs = _task_kwargs(root, "exp_mp", variant="scst", val_check_interval=0.5)
+    # 2-process run with the same schedule → mid-epoch ckpt with per-rank
+    # sidecars. save_top_k=0 keeps every checkpoint: under the default top-1
+    # pruning the mid-epoch save only survives while its monitor value happens
+    # to beat the epoch-end one.
+    mp_kwargs = _task_kwargs(root, "exp_mp", variant="scst", val_check_interval=0.5,
+                             save_top_k=0)
     _spawn(2, "fit_scst", mp_kwargs)
     mp_trial = TaskConfig(**mp_kwargs).exp_dir_trial
     (mid_ckpt,) = globmod.glob(os.path.join(mp_trial, "checkpoints", "epoch=0-step=*"))
