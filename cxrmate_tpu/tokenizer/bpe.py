@@ -73,8 +73,13 @@ class ByteLevelBPETokenizer:
         merges: Sequence[Tuple[str, str]],
         special_tokens: Sequence[str] = ("[UNK]", "[BOS]", "[EOS]", "[SEP]", "[PAD]", "[MASK]"),
         additional_special_tokens: Sequence[str] = (),
-        unk_token: str = "[UNK]",
+        unk_token: Optional[str] = None,
     ):
+        # unk_token mirrors the BPE *model*'s unk (tokenizer.json model.unk_token),
+        # NOT the [UNK] special: the reference trains `tokenizers.models.BPE()`
+        # (examples/tokenizer.ipynb), whose model unk is null — byte symbols
+        # absent from the vocab are DROPPED before merging (so their neighbours
+        # become adjacent and may merge), not mapped to [UNK].
         self.vocab = dict(vocab)
         self.id_to_token = {i: t for t, i in self.vocab.items()}
         self.merges = list(merges)
@@ -108,8 +113,8 @@ class ByteLevelBPETokenizer:
         return self.vocab[token]
 
     @property
-    def unk_token_id(self) -> int:
-        return self._tok_id(self.unk_token)
+    def unk_token_id(self) -> Optional[int]:
+        return None if self.unk_token is None else self._tok_id(self.unk_token)
 
     @property
     def bos_token_id(self) -> int:
@@ -202,15 +207,25 @@ class ByteLevelBPETokenizer:
         b2u = bytes_to_unicode()
         split = _byte_level_split_re()
         ids: List[int] = []
-        unk = self.vocab.get(self.unk_token)
+        unk = None if self.unk_token is None else self.vocab.get(self.unk_token)
+        vocab = self.vocab
         for piece, is_special in self._split_on_specials(text):
             if is_special:
-                ids.append(self.vocab[piece])
+                ids.append(vocab[piece])
                 continue
             for m in split.finditer(piece):
                 mapped = "".join(b2u[b] for b in m.group().encode("utf-8"))
-                for tok in self._bpe(mapped):
-                    ids.append(self.vocab.get(tok, unk))
+                if unk is None:
+                    # HF BPE with model unk null: unknown symbols are dropped
+                    # BEFORE merging ("aXb" → ["ab"] when the merge exists)
+                    mapped = "".join(ch for ch in mapped if ch in vocab)
+                    if not mapped:
+                        continue
+                    for tok in self._bpe(mapped):
+                        ids.append(vocab[tok])
+                else:
+                    for tok in self._bpe(mapped):
+                        ids.append(vocab.get(tok, unk))
         return ids
 
     def decode(self, token_ids: Iterable[int], skip_special_tokens: bool = True) -> str:
@@ -294,6 +309,7 @@ class ByteLevelBPETokenizer:
             merges=merges,
             special_tokens=[t for t in base if t in vocab],
             additional_special_tokens=additional,
+            unk_token=model.get("unk_token"),
         )
 
     def save(self, path: str) -> None:

@@ -7,6 +7,7 @@
 // over UTF-8 with generated Unicode category tables, and ranked BPE merges over raw
 // bytes with a per-token memo. Exposed as a C ABI consumed via ctypes.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -194,12 +195,18 @@ void bpe_encode_word(Engine* e, const std::string& word, std::vector<int32_t>& o
         out.insert(out.end(), it->second.begin(), it->second.end());
         return;
     }
-    // start from single bytes
+    // start from single bytes; with no model unk (unk_id < 0, HF BPE
+    // unk_token null — the reference recipe) unknown bytes are dropped HERE,
+    // before merging, so their neighbours become adjacent and may merge
     std::vector<int32_t> ids;
     ids.reserve(word.size());
     for (unsigned char c : word) {
         auto vit = e->vocab.find(std::string(1, char(c)));
-        ids.push_back(vit == e->vocab.end() ? -1 : vit->second);
+        if (vit == e->vocab.end()) {
+            if (e->unk_id >= 0) ids.push_back(-1);
+        } else {
+            ids.push_back(vit->second);
+        }
     }
     while (ids.size() > 1) {
         int32_t best_rank = INT32_MAX;
@@ -217,8 +224,16 @@ void bpe_encode_word(Engine* e, const std::string& word, std::vector<int32_t>& o
         ids[best_i] = m;
         ids.erase(ids.begin() + best_i + 1);
     }
-    for (auto& id : ids) {
-        if (id < 0) id = e->unk_id;
+    if (e->unk_id >= 0) {
+        for (auto& id : ids) {
+            if (id < 0) id = e->unk_id;
+        }
+    } else {
+        // drop mode: negatives only arise from a malformed merge table
+        // (merge output missing from vocab); never emit them
+        ids.erase(std::remove_if(ids.begin(), ids.end(),
+                                 [](int32_t id) { return id < 0; }),
+                  ids.end());
     }
     if (e->memo.size() < (1u << 18)) e->memo.emplace(word, ids);
     out.insert(out.end(), ids.begin(), ids.end());

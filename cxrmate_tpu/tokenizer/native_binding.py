@@ -98,7 +98,11 @@ def attach(tokenizer: ByteLevelBPETokenizer) -> Optional[_NativeBPE]:
     for r, (a, b) in enumerate(tokenizer.merges):
         merge_ids[r, 0] = tokenizer.vocab[a]
         merge_ids[r, 1] = tokenizer.vocab[b]
-    unk = tokenizer.vocab.get(tokenizer.unk_token, 0)
+    # unk_id < 0 selects the engine's drop-unknown-bytes mode (HF BPE with
+    # model unk_token null — the reference recipe); >= 0 maps them to unk
+    unk = -1
+    if tokenizer.unk_token is not None:
+        unk = tokenizer.vocab.get(tokenizer.unk_token, -1)
     handle = lib.bpe_create(
         bytes(blob), len(blob),
         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(entries),

@@ -43,6 +43,11 @@ def test_native_matches_python(trained):
         "emoji 🙂 bytes",
         "\n\n",
         "a b",  # non-breaking space
+        # bytes absent from the trained vocab are dropped BEFORE merging
+        # (model unk null, HF semantics) — neighbours may merge across them
+        "no肺change.",
+        "pleural🫁effusion",
+        "心心心心心",
     ]
     for text in list(texts[:300]) + hard_cases:
         expected = tok._encode_py(text)

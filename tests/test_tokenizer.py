@@ -61,6 +61,68 @@ def test_encode_decode_parity(hf_trained):
         assert ours.decode(got) == hf_tok.decode(expected)
 
 
+def test_encode_decode_parity_fuzz(hf_trained):
+    """Byte-parity on adversarial random strings (arbitrary unicode, emoji,
+    control chars, mixed whitespace, lone surrogate-adjacent codepoints) —
+    inputs far outside the training corpus still encode/decode identically to
+    HF `tokenizers` (every byte maps into the ByteLevel alphabet)."""
+    import random
+
+    hf_tok, path, _ = hf_trained
+    ours = ByteLevelBPETokenizer.from_file(path)
+    rng = random.Random(0)
+    pools = [
+        lambda: chr(rng.randrange(0x20, 0x7F)),          # ascii
+        lambda: chr(rng.randrange(0xA0, 0x2FF)),         # latin ext / IPA
+        lambda: chr(rng.randrange(0x4E00, 0x9FFF)),      # CJK
+        lambda: chr(rng.randrange(0x1F300, 0x1F64F)),    # emoji
+        lambda: rng.choice(" \t\n\r\x0b\x0c"),           # whitespace
+        lambda: chr(rng.randrange(0x00, 0x20)),          # control
+    ]
+    cases = ["", " ", "  leading", "trailing  ", "\n\n", "½cm ±0.5 µg/mL",
+             "Ω≈ç√∫˜µ≤≥÷", "🫁 opacity noted"]
+    for _ in range(200):
+        n = rng.randrange(1, 60)
+        cases.append("".join(rng.choice(pools)() for _ in range(n)))
+    for text in cases:
+        expected = hf_tok.encode(text, add_special_tokens=False).ids
+        got = ours.encode(text)
+        assert got == expected, repr(text)
+        assert ours.decode(got) == hf_tok.decode(expected), repr(text)
+
+
+def test_model_unk_token_modes(hf_trained, tmp_path):
+    """model.unk_token=null (the reference recipe, tokenizers.models.BPE())
+    drops unknown byte symbols BEFORE merging; a file with model.unk_token set
+    maps them to that token instead — both matching HF `tokenizers`."""
+    tokenizers = pytest.importorskip("tokenizers")
+    _, path, _ = hf_trained
+
+    ours = ByteLevelBPETokenizer.from_file(path)
+    assert ours.unk_token is None  # HF-saved file: model unk is null
+    assert ours.encode("\n\n") == []  # dropped, not [UNK]
+
+    # same vocab/merges, model unk set → unknowns become [UNK]; HF agrees
+    with open(path) as f:
+        data = json.load(f)
+    data["model"]["unk_token"] = "[UNK]"
+    unk_path = tmp_path / "tokenizer.json"
+    with open(unk_path, "w") as f:
+        json.dump(data, f, ensure_ascii=False)
+    with_unk = ByteLevelBPETokenizer.from_file(str(unk_path))
+    assert with_unk.unk_token == "[UNK]"
+    hf_unk = tokenizers.Tokenizer.from_file(str(unk_path))
+    for text in ("\n\n", "no肺change.", "½cm"):
+        expected = hf_unk.encode(text, add_special_tokens=False).ids
+        assert with_unk.encode(text) == expected, repr(text)
+        assert with_unk.unk_token_id in with_unk.encode("\n")
+
+    # save round-trip preserves the unk mode
+    ours.save(str(tmp_path / "null_unk") + os.sep)
+    with open(tmp_path / "null_unk" / "tokenizer.json") as f:
+        assert json.load(f)["model"]["unk_token"] is None
+
+
 def test_specials_and_prompt_format(hf_trained):
     _, path, _ = hf_trained
     with open(path) as f:
