@@ -99,6 +99,33 @@ def test_token_type_ids_parity(models):
     np.testing.assert_array_equal(np.asarray(got_d), expected_d)
 
 
+def test_token_type_ids_parity_fuzz(models):
+    """Random special-token placements at several densities/shapes — the
+    first-occurrence boundary rule, the cols!=1 edge, and section cycling must
+    match the reference everywhere, not just on hand-placed cases."""
+    variant, ref, cfg, variables = models
+    rng = np.random.RandomState(7)
+    specials = [50, 60, 70]
+    for trial in range(25):
+        b = rng.randint(1, 6)
+        l = rng.randint(2, 20)
+        ids = rng.randint(6, 97, size=(b, l)).astype(np.int64)
+        # sprinkle specials at random density (incl. duplicates / first & last col)
+        n_sp = rng.randint(0, b * l // 2 + 1)
+        for _ in range(n_sp):
+            ids[rng.randint(b), rng.randint(l)] = specials[rng.randint(3)]
+        sections = [0, 1, 0, 1] if trial % 2 else None
+        args = (specials, sections) if sections else (specials,)
+        expected = ref.token_ids_to_token_type_ids(torch.from_numpy(ids), *args).numpy()
+        got = ed.token_ids_to_token_type_ids(jnp.asarray(ids), *args)
+        np.testing.assert_array_equal(np.asarray(got), expected, err_msg=f"trial {trial}")
+        expected_past = ref.token_ids_to_token_type_ids_past(
+            torch.from_numpy(ids), *args).numpy()
+        got_past = ed.token_ids_to_token_type_ids_past(jnp.asarray(ids), *args)
+        np.testing.assert_array_equal(np.asarray(got_past)[:, None], expected_past,
+                                      err_msg=f"trial {trial} (past)")
+
+
 class _TokWrap:
     """Adapts our tokenizer to the HF PreTrainedTokenizerFast surface the reference
     helpers consume."""
@@ -157,6 +184,87 @@ def test_tokenize_prompt_parity(models, tok):
         got = ed.tokenize_prompt(prev_f, prev_i, mine, 24, add_bos_token_id=add_bos)
         np.testing.assert_array_equal(got["input_ids"], expected["input_ids"].numpy())
         np.testing.assert_array_equal(got["attention_mask"], expected["attention_mask"].numpy())
+
+
+def test_tokenize_prompt_parity_edge(models, tok):
+    """Adversarial previous-report rows: empty strings vs None, whitespace-only,
+    truncation-boundary lengths (the BOS-forced-into-last-slot rule,
+    modelling_longitudinal.py:504-509), and vocab-absent unicode."""
+    variant, ref, cfg, variables = models
+    if variant != "longitudinal":
+        pytest.skip("prompt API is longitudinal-only")
+    mine, hf, texts = tok
+    long_text = " ".join(texts[:40])
+    cases = [
+        ([""], [""]),
+        ([None], [""]),
+        (["   "], ["\t"]),
+        ([long_text], [long_text]),          # both sections truncated
+        ([long_text], [None]),
+        ([texts[0]], [long_text]),
+        (["no肺change 🫁"], ["½cm ±0.5"]),   # bytes outside the trained vocab
+        ([texts[0], None, "", long_text], [None, texts[1], long_text, ""]),
+    ]
+    for max_len in (8, 12, 24):
+        for prev_f, prev_i in cases:
+            for add_bos in (False, True):
+                expected = ref.tokenize_prompt(prev_f, prev_i, hf, max_len,
+                                               add_bos_token_id=add_bos)
+                got = ed.tokenize_prompt(prev_f, prev_i, mine, max_len,
+                                         add_bos_token_id=add_bos)
+                msg = f"max_len={max_len} add_bos={add_bos} case={prev_f!r}/{prev_i!r}"
+                np.testing.assert_array_equal(
+                    got["input_ids"], expected["input_ids"].numpy(), err_msg=msg)
+                np.testing.assert_array_equal(
+                    got["attention_mask"], expected["attention_mask"].numpy(), err_msg=msg)
+
+
+def test_tokenize_report_teacher_forcing_parity_edge(models, tok):
+    """Truncation boundaries and empty sections in TF tokenization."""
+    variant, ref, cfg, variables = models
+    mine, hf, texts = tok
+    long_text = " ".join(texts[:40])
+    cases = [
+        ([""], [""]),
+        ([long_text], [long_text]),
+        ([texts[0]], [""]),
+        (["", long_text], [long_text, texts[1]]),
+    ]
+    for max_len in (4, 16, 32):
+        for findings, impression in cases:
+            expected = ref.tokenize_report_teacher_forcing(findings, impression, hf, max_len)
+            got = ed.tokenize_report_teacher_forcing(findings, impression, mine, max_len)
+            msg = f"max_len={max_len} case={findings!r}/{impression!r}"
+            np.testing.assert_array_equal(
+                got["decoder_input_ids"], expected["decoder_input_ids"].numpy(), err_msg=msg)
+            np.testing.assert_array_equal(
+                got["label_ids"], expected["label_ids"].numpy(), err_msg=msg)
+            np.testing.assert_array_equal(
+                got["decoder_attention_mask"],
+                expected["decoder_attention_mask"].numpy(), err_msg=msg)
+
+
+def test_split_and_decode_sections_parity_fuzz(models, tok):
+    """Random id matrices (arbitrary special placements: repeated SEPs, EOS
+    before SEP, missing sections, all-pad rows) — the per-row first-occurrence
+    section splitting must match the reference exactly."""
+    variant, ref, cfg, variables = models
+    mine, hf, texts = tok
+    rng = np.random.RandomState(11)
+    sp = [mine.bos_token_id, mine.sep_token_id, mine.eos_token_id, mine.pad_token_id]
+    for trial in range(20):
+        b = rng.randint(1, 5)
+        w = rng.randint(2, 18)
+        arr = rng.randint(6, len(mine), size=(b, w)).astype(np.int64)
+        n_sp = rng.randint(0, b * w)
+        for _ in range(n_sp):
+            arr[rng.randint(b), rng.randint(w)] = sp[rng.randint(len(sp))]
+        if trial == 0:
+            arr[0, :] = mine.pad_token_id
+        specials = [mine.sep_token_id, mine.eos_token_id]
+        expected = ref.split_and_decode_sections(torch.from_numpy(arr), specials, hf)
+        got = ed.split_and_decode_sections(arr, specials, mine)
+        assert got == tuple(expected), f"trial {trial}"
 
 
 def test_split_and_decode_sections_parity(models, tok):
