@@ -131,3 +131,19 @@ def test_coco_metric_dedup_and_aggregation(tmp_path):
     assert abs(scores["bleu_1"] - 11 / 12) < 1e-6
     csvs = list((tmp_path / "nlg_scores").glob("*.csv"))
     assert len(csvs) == 1
+
+
+def test_coco_metrics_degenerate_inputs(tmp_path):
+    """Real decodes can produce empty or punctuation-only generations (immediate
+    EOS) and references can be empty after section splitting — the battery must
+    return finite scores, never NaN/crash."""
+    m = COCONLGMetrics("test_report", str(tmp_path), accumulate_over_dicoms=False,
+                       metrics=("bleu", "cider", "rouge", "meteor"))
+    preds = ["", "the", "no acute findings", "...", "x x x x", ""]
+    labels = [["no acute disease"], [""], ["no acute findings"], ["."], ["y"], [""]]
+    m.update(preds, labels, study_ids=["s1", "s2", "s3", "s4", "s5", "s6"])
+    scores = m.compute(epoch=0)
+    for k, v in scores.items():
+        assert np.isfinite(v), k
+    assert scores["num_study_ids"] == 6.0
+    assert abs(scores["bleu_1"] - 1 / 6) < 1e-9  # only the exact match scores

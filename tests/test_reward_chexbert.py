@@ -45,6 +45,34 @@ def test_wordpiece_parity_vs_hf(wp_vocab):
     np.testing.assert_array_equal(batch_ours["attention_mask"], batch_hf["attention_mask"])
 
 
+def test_wordpiece_parity_vs_hf_fuzz(wp_vocab):
+    """Random adversarial strings vs HF BertTokenizer: accent stripping, CJK
+    spacing, control/format chars (dropped), punctuation splitting, whitespace
+    runs, and the >100-char-word → [UNK] rule."""
+    import random
+
+    hf = transformers.BertTokenizer(wp_vocab, do_lower_case=True)
+    ours = WordPieceTokenizer.from_file(wp_vocab)
+    rng = random.Random(3)
+    pools = [
+        lambda: rng.choice("abcthenorml "),
+        lambda: chr(rng.randrange(0xC0, 0x17F)),         # accented latin
+        lambda: chr(rng.randrange(0x4E00, 0x4E80)),      # CJK
+        lambda: rng.choice(",.;:!?()[]-_/\\\"'"),
+        lambda: rng.choice(" \t\n\r  "),
+        lambda: chr(rng.randrange(0x00, 0x20)),          # control
+        lambda: "‍",                                # zero-width joiner (Cf)
+        lambda: "�",
+    ]
+    cases = ["x" * 120, "the " + "y" * 101 + " heart", "NÓ acute", "ＡＢＣ"]
+    for _ in range(150):
+        n = rng.randrange(1, 50)
+        cases.append("".join(rng.choice(pools)() for _ in range(n)))
+    for t in cases:
+        assert ours.tokenize(t) == hf.tokenize(t), repr(t)
+        assert ours.encode(t) == hf(t)["input_ids"], repr(t)
+
+
 def _small_bert_pair(seed=0, vocab=40):
     torch.manual_seed(seed)
     hf_cfg = transformers.BertConfig(
