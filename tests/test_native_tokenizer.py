@@ -49,7 +49,20 @@ def test_native_matches_python(trained):
         "pleural🫁effusion",
         "心心心心心",
     ]
-    for text in list(texts[:300]) + hard_cases:
+    import random
+
+    rng = random.Random(5)
+    pools = [
+        lambda: chr(rng.randrange(0x20, 0x7F)),
+        lambda: chr(rng.randrange(0xA0, 0x2FF)),
+        lambda: chr(rng.randrange(0x4E00, 0x9FFF)),
+        lambda: chr(rng.randrange(0x1F300, 0x1F64F)),
+        lambda: rng.choice(" \t\n\r\x0b\x0c"),
+        lambda: chr(rng.randrange(0x00, 0x20)),
+    ]
+    fuzz = ["".join(rng.choice(pools)() for _ in range(rng.randrange(1, 60)))
+            for _ in range(100)]
+    for text in list(texts[:300]) + hard_cases + fuzz:
         expected = tok._encode_py(text)
         got = native.encode(text)
         assert got == expected, repr(text)
