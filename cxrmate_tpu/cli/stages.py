@@ -254,16 +254,23 @@ def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
     # and returns None otherwise (exact+stem only). meteor() only runs the
     # synonym stage when a module is passed — this plumbing IS the wiring.
     meteor_syn = None
+    meteor_para = None
     if split == "test":
-        from cxrmate_tpu.eval.meteor import wordnet_synonyms
+        from cxrmate_tpu.eval.meteor import load_paraphrase_table, wordnet_synonyms
 
         meteor_syn = wordnet_synonyms()
+        # the jar's paraphrase module is file-gated like the SPICE adapter:
+        # point CXRMATE_METEOR_PARAPHRASES at METEOR-1.5's data/paraphrase-en.gz
+        para_path = os.environ.get("CXRMATE_METEOR_PARAPHRASES")
+        if para_path:
+            meteor_para = load_paraphrase_table(para_path)
     out = {}
     for section in task.sections_to_evaluate:
         out[f"{split}_{section}_nlg"] = COCONLGMetrics(
             f"{split}_{section}", task.exp_dir_trial, accumulate,
             metrics=("bleu", "cider", "rouge") + (("meteor",) if split == "test" else ()),
             meteor_synonyms=meteor_syn,
+            meteor_paraphrases=meteor_para,
         )
         if chexbert_fn is not None:
             out[f"{split}_{section}_chexbert"] = CheXbertMetrics(

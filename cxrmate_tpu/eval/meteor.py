@@ -7,9 +7,12 @@ Faithful to METEOR 1.5 (Denkowski & Lavie 2014) for English:
   * matcher modules in stage order: **exact** → **stem** (Snowball English,
     `eval/stem.py`) → **synonym** (optional adapter; the jar uses a WordNet-derived
     synonymy table that is not redistributable here — pass ``synonyms=`` to enable,
-    e.g. ``wordnet_synonyms`` when the nltk WordNet corpus is installed);
-    module weights 1.0 / 0.6 / 0.8. The paraphrase module (weight 0.6) requires the
-    jar's paraphrase table and is not implemented.
+    e.g. ``wordnet_synonyms`` when the nltk WordNet corpus is installed) →
+    **paraphrase** (optional; phrase-to-phrase span matches from the jar's
+    paraphrase table — pass ``paraphrases=load_paraphrase_table(path)``; the
+    table itself ships with the jar and is not redistributable here, so the
+    stage is file-gated like the SPICE adapter, CXRMATE_METEOR_PARAPHRASES).
+    Module weights 1.0 / 0.6 / 0.8 / 0.6.
   * English parameters: α=0.85, β=0.2, γ=0.6, δ=0.75.
   * content/function-word weighting: function words (built-in list approximating
     the jar's corpus-derived function.words file) weigh (1−δ), content words δ.
@@ -27,8 +30,50 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 from cxrmate_tpu.eval.stem import stem
 
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
-WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN = 1.0, 0.6, 0.8
+WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN, WEIGHT_PARA = 1.0, 0.6, 0.8, 0.6
 _BEAM = 40
+
+
+class ParaphraseTable:
+    """Phrase → {paraphrase phrases} lookup (symmetric), the jar's paraphrase
+    module data. Phrases are space-joined lowercase token sequences."""
+
+    def __init__(self, pairs):
+        table: Dict[str, set] = {}
+        for a, b in pairs:
+            a, b = a.strip().lower(), b.strip().lower()
+            if not a or not b or a == b:
+                continue
+            table.setdefault(a, set()).add(b)
+            table.setdefault(b, set()).add(a)
+        self._table = {k: frozenset(v) for k, v in table.items()}
+        self.max_len = max((len(k.split()) for k in self._table), default=0)
+
+    def get(self, phrase: str) -> frozenset:
+        return self._table.get(phrase, frozenset())
+
+    def __len__(self) -> int:
+        return len(self._table)
+
+
+def load_paraphrase_table(path: str) -> ParaphraseTable:
+    """Load a METEOR paraphrase table (the jar's ``data/paraphrase-en.gz``).
+    Accepts gzip or plain text; each line is ``phrase ||| paraphrase`` with an
+    optional leading probability field (``p ||| phrase ||| paraphrase``) —
+    probabilities are ignored, the jar treats listed pairs as matched at the
+    module weight."""
+    import gzip
+
+    opener = gzip.open if str(path).endswith(".gz") else open
+    pairs = []
+    with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            parts = [p.strip() for p in line.split("|||")]
+            if len(parts) == 2:
+                pairs.append((parts[0], parts[1]))
+            elif len(parts) == 3:
+                pairs.append((parts[1], parts[2]))
+    return ParaphraseTable(pairs)
 
 # English function words: articles, conjunctions, prepositions, pronouns,
 # auxiliaries/modals, common adverbs of degree — the classes the jar's
@@ -53,55 +98,84 @@ def _word_weight(w: str, delta: float = DELTA) -> float:
 
 
 def _candidate_matches(hyp: List[str], ref: List[str], synonyms,
-                       weights: Tuple[float, float, float]) -> List[List[Tuple[int, float]]]:
-    """For each hyp index, the (ref index, module weight) candidates, using the
-    highest-priority module that matches each (i, j) pair."""
+                       weights: Tuple[float, float, float], paraphrases=None,
+                       ) -> List[List[Tuple[int, int, int, float]]]:
+    """For each hyp start index, the (hyp_len, ref_start, ref_len, module weight)
+    span candidates, using the highest-priority module matching each pair.
+    Single-word modules (exact/stem/synonym) emit 1×1 spans; the paraphrase
+    module emits multi-word spans from the table."""
     w_exact, w_stem, w_syn = weights
     hyp_stems = [stem(w) for w in hyp]
     ref_stems = [stem(w) for w in ref]
-    cands: List[List[Tuple[int, float]]] = []
+    cands: List[List[Tuple[int, int, int, float]]] = []
     for i, h in enumerate(hyp):
         row = []
         for j, r in enumerate(ref):
             if h == r:
-                row.append((j, w_exact))
+                row.append((1, j, 1, w_exact))
             elif hyp_stems[i] == ref_stems[j]:
-                row.append((j, w_stem))
+                row.append((1, j, 1, w_stem))
             elif synonyms is not None and synonyms(h, r):
-                row.append((j, w_syn))
+                row.append((1, j, 1, w_syn))
         cands.append(row)
+    if paraphrases is not None and paraphrases.max_len > 0:
+        # ref phrase occurrences up to the table's longest phrase
+        ref_spans: Dict[str, List[Tuple[int, int]]] = {}
+        for j in range(len(ref)):
+            for n in range(1, min(paraphrases.max_len, len(ref) - j) + 1):
+                ref_spans.setdefault(" ".join(ref[j:j + n]), []).append((j, n))
+        for i in range(len(hyp)):
+            matched_1x1 = {j for hl, j, jl, _ in cands[i] if hl == 1 and jl == 1}
+            for n in range(1, min(paraphrases.max_len, len(hyp) - i) + 1):
+                phrase = " ".join(hyp[i:i + n])
+                for q in paraphrases.get(phrase):
+                    for j, jn in ref_spans.get(q, ()):
+                        if n == 1 and jn == 1 and j in matched_1x1:
+                            continue  # a higher-priority module already matched it
+                        cands[i].append((n, j, jn, WEIGHT_PARA))
     return cands
 
 
 def _align(hyp: List[str], ref: List[str], synonyms,
            weights: Tuple[float, float, float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
-           ) -> List[Tuple[int, int, float]]:
-    """One-to-one alignment via beam search: max matches, then min chunks, then
-    min total |i−j| (the jar's Aligner resolution order). Returns
-    [(hyp_idx, ref_idx, module_weight)] sorted by hyp index."""
-    cands = _candidate_matches(hyp, ref, synonyms, weights)
-    # beam state: (matches, last_j or None, chunks, dist, used_ref_frozenset, align_list)
-    states = [(0, None, 0, 0, frozenset(), ())]
-    for i, row in enumerate(cands):
-        nxt = {}
+           paraphrases=None,
+           ) -> List[Tuple[int, int, int, int, float]]:
+    """One-to-one span alignment via beam search: max matched words
+    (hyp+ref), then min chunks, then min total |i−j| of span starts (the jar's
+    Aligner resolution order). Returns [(hyp_start, hyp_len, ref_start,
+    ref_len, module_weight)] sorted by hyp start. Without a paraphrase table
+    every span is 1×1 and this reduces to the word aligner."""
+    cands = _candidate_matches(hyp, ref, synonyms, weights, paraphrases)
+    # beam state: (matched_words, last span end (i_end, j_end) or None, chunks,
+    #              dist, used_ref_frozenset, align_list); states are bucketed by
+    #              the hyp position they have consumed up to (span matches jump).
+    frontier: Dict[int, Dict] = {0: {(frozenset(), None): (0, None, 0, 0, frozenset(), ())}}
+    for i in range(len(hyp)):
+        bucket = frontier.pop(i, None)
+        if not bucket:
+            continue
+        states = sorted(bucket.values(), key=lambda s: (-s[0], s[2], s[3]))[:_BEAM]
 
-        def push(st):
+        def push(pos, st):
+            tgt = frontier.setdefault(pos, {})
             key = (st[4], st[1])
-            old = nxt.get(key)
+            old = tgt.get(key)
             if old is None or (-st[0], st[2], st[3]) < (-old[0], old[2], old[3]):
-                nxt[key] = st
+                tgt[key] = st
 
-        for m, last_j, chunks, dist, used, al in states:
+        for m, last, chunks, dist, used, al in states:
             # skip word i (breaks any running chunk)
-            push((m, None, chunks, dist, used, al))
-            for j, w in row:
-                if j in used:
+            push(i + 1, (m, None, chunks, dist, used, al))
+            for hl, j, jl, w in cands[i]:
+                span = range(j, j + jl)
+                if any(jj in used for jj in span):
                     continue
-                new_chunks = chunks + (0 if last_j is not None and j == last_j + 1 else 1)
-                push((m + 1, j, new_chunks, dist + abs(i - j), used | {j},
-                      al + ((i, j, w),)))
-        states = sorted(nxt.values(), key=lambda s: (-s[0], s[2], s[3]))[:_BEAM]
-    best = states[0]
+                new_chunks = chunks + (0 if last == (i, j) else 1)
+                push(i + hl, (m + hl + jl, (i + hl, j + jl), new_chunks,
+                              dist + abs(i - j), used | set(span),
+                              al + ((i, hl, j, jl, w),)))
+    final = frontier.get(len(hyp), {})
+    best = min(final.values(), key=lambda s: (-s[0], s[2], s[3]))
     return list(best[5])
 
 
@@ -137,25 +211,32 @@ class SegmentStats:
 
 def _segment_stats(hyp: List[str], ref: List[str], synonyms, delta: float = DELTA,
                    weights: Tuple[float, float, float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
+                   paraphrases=None,
                    ) -> SegmentStats:
     if not hyp or not ref:
         return SegmentStats(
             w_hyp=sum(_word_weight(w, delta) for w in hyp),
             w_ref=sum(_word_weight(w, delta) for w in ref),
         )
-    align = _align(hyp, ref, synonyms, weights)
+    align = _align(hyp, ref, synonyms, weights, paraphrases)
     st = SegmentStats(
         w_hyp=sum(_word_weight(w, delta) for w in hyp),
         w_ref=sum(_word_weight(w, delta) for w in ref),
     )
-    st.matches = float(len(align))
+    # matched-word count = average of hyp- and ref-side matched words (the
+    # jar's MeteorStats averages the two; they only differ for phrase matches
+    # of unequal span length — 1×1 spans keep matches == len(align))
+    m_hyp = m_ref = 0
     last = None
-    for i, j, w in align:
-        st.wm_hyp += w * _word_weight(hyp[i], delta)
-        st.wm_ref += w * _word_weight(ref[j], delta)
-        if last is None or j != last[1] + 1 or i != last[0] + 1:
+    for i, hl, j, jl, w in align:
+        st.wm_hyp += w * sum(_word_weight(x, delta) for x in hyp[i:i + hl])
+        st.wm_ref += w * sum(_word_weight(x, delta) for x in ref[j:j + jl])
+        m_hyp += hl
+        m_ref += jl
+        if last is None or (i, j) != last:
             st.chunks += 1
-        last = (i, j)
+        last = (i + hl, j + jl)
+    st.matches = (m_hyp + m_ref) / 2.0
     # literal identity zeroes the fragmentation penalty (the jar's special case)
     if hyp == ref:
         st.chunks = 0
@@ -167,6 +248,7 @@ def meteor(
     *,
     alpha: float = ALPHA, beta: float = BETA, gamma: float = GAMMA, delta: float = DELTA,
     weights: Tuple[float, float, float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
+    paraphrases: Optional[ParaphraseTable] = None,
 ) -> Tuple[float, List[float]]:
     """pycocoevalcap-style interface: gts/res are {id: [tokenised string, ...]};
     returns (corpus score from summed stats, per-item scores). Inputs are expected
@@ -184,7 +266,8 @@ def meteor(
         hyp = res[key][0].lower().split()
         best: Optional[SegmentStats] = None
         for ref_s in gts[key]:
-            st = _segment_stats(hyp, ref_s.lower().split(), synonyms, delta, weights)
+            st = _segment_stats(hyp, ref_s.lower().split(), synonyms, delta, weights,
+                                paraphrases)
             if best is None or st.score(alpha, beta, gamma) > best.score(alpha, beta, gamma):
                 best = st
         per_item.append(best.score(alpha, beta, gamma))

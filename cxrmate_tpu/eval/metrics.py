@@ -82,12 +82,14 @@ class COCONLGMetrics(_Accumulator):
     per-study CSV dump and DICOM→study mean aggregation (tools/metrics/coco.py)."""
 
     def __init__(self, split, exp_dir, accumulate_over_dicoms, metrics=("bleu", "cider", "rouge"),
-                 use_tokenizer: bool = True, meteor_synonyms=None):
+                 use_tokenizer: bool = True, meteor_synonyms=None, meteor_paraphrases=None):
         super().__init__(split, exp_dir, "nlg_scores", accumulate_over_dicoms)
         self.metrics = [m.lower() for m in metrics]
         self.use_tokenizer = use_tokenizer
-        # optional METEOR synonym module (eval/meteor.py:wordnet_synonyms)
+        # optional METEOR synonym module (eval/meteor.py:wordnet_synonyms) and
+        # paraphrase table (eval/meteor.py:load_paraphrase_table)
         self.meteor_synonyms = meteor_synonyms
+        self.meteor_paraphrases = meteor_paraphrases
 
     def update(self, predictions: Sequence[str], labels: Sequence[Sequence[str]],
                study_ids, dicom_ids=None):
@@ -132,7 +134,8 @@ class COCONLGMetrics(_Accumulator):
         if "meteor" in self.metrics:
             from cxrmate_tpu.eval.meteor import meteor
 
-            _, per = meteor(labels, preds, synonyms=self.meteor_synonyms)
+            _, per = meteor(labels, preds, synonyms=self.meteor_synonyms,
+                            paraphrases=self.meteor_paraphrases)
             df["meteor"] = per
         if "spice" in self.metrics:
             from cxrmate_tpu.eval.spice import spice

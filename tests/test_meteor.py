@@ -303,3 +303,86 @@ def test_meteor_identical_without_repeats_or_synonyms():
             r.split(), h.split(), stemmer=stemmer, wordnet=fw
         )
         assert ours == pytest.approx(theirs, abs=1e-12), (r, h)
+
+
+# ---------------------------------------------------------------------------
+# Paraphrase module (the jar's 4th matcher stage, file-gated table)
+
+
+def _para_table(pairs):
+    from cxrmate_tpu.eval.meteor import ParaphraseTable
+
+    return ParaphraseTable(pairs)
+
+
+def test_paraphrase_table_loader_formats(tmp_path):
+    import gzip
+
+    from cxrmate_tpu.eval.meteor import load_paraphrase_table
+
+    plain = tmp_path / "para.txt"
+    plain.write_text(
+        "cardiac silhouette ||| heart size\n"
+        "0.73 ||| x y ||| z\n"
+        "dup ||| dup\n"          # identity pairs are dropped
+        "malformed line\n"       # ignored
+        " spaced  ||| pair \n"
+    )
+    t = load_paraphrase_table(str(plain))
+    assert "heart size" in t.get("cardiac silhouette")
+    assert "cardiac silhouette" in t.get("heart size")  # symmetric
+    assert "z" in t.get("x y")                           # probability field ignored
+    assert not t.get("dup")
+    assert "pair" in t.get("spaced")
+    assert t.max_len == 2
+
+    gz = tmp_path / "para.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as f:
+        f.write("a b c ||| d\n")
+    tg = load_paraphrase_table(str(gz))
+    assert "d" in tg.get("a b c") and tg.max_len == 3
+
+
+def test_paraphrase_span_match_hand_derived():
+    """hyp 'cardiac silhouette enlarged' vs ref 'heart size enlarged' with the
+    phrase pair matched at weight 0.6: all six words are content words, the
+    2x2 span + the exact 1x1 are contiguous (1 chunk), matches = 3."""
+    table = _para_table([("cardiac silhouette", "heart size")])
+    gts = {1: ["heart size enlarged"]}
+    res = {1: ["cardiac silhouette enlarged"]}
+    _, (without,) = meteor(gts, res)
+    _, (with_para,) = meteor(gts, res, paraphrases=table)
+    assert with_para > without
+    p = (0.6 * 2 * DELTA + 1.0 * DELTA) / (3 * DELTA)
+    f = _fmean(p, p)
+    frag = 1.0 / 3.0
+    expected = (1 - GAMMA * frag ** BETA) * f
+    assert math.isclose(with_para, expected, rel_tol=1e-12)
+
+
+def test_paraphrase_unequal_span_lengths():
+    """2-word hyp phrase matched to a 1-word ref phrase: matched words average
+    to 1.5, both sides' weighted masses use the module weight."""
+    table = _para_table([("x y", "z")])
+    _, (score,) = meteor({1: ["z"]}, {1: ["x y"]}, paraphrases=table)
+    p, r = 0.6, 0.6  # wm/w on each side: 0.6*1.5d/1.5d and 0.6*d/d
+    frag = 1.0 / 1.5
+    expected = (1 - GAMMA * frag ** BETA) * _fmean(p, r)
+    assert math.isclose(score, expected, rel_tol=1e-12)
+    _, (zero,) = meteor({1: ["z"]}, {1: ["x y"]})
+    assert zero == 0.0
+
+
+def test_paraphrase_does_not_shadow_higher_modules():
+    """A 1x1 pair already matched exactly keeps the exact weight; an unrelated
+    table entry leaves scores bit-identical to the no-table path."""
+    table = _para_table([("normal", "unremarkable"), ("clear", "lucent")])
+    gts = {1: ["the lungs are normal"], 2: ["pleural effusion seen"]}
+    res = {1: ["the lungs are normal"], 2: ["effusion is seen"]}
+    c0, per0 = meteor(gts, res)
+    c1, per1 = meteor(gts, res, paraphrases=table)
+    assert c0 == c1 and per0 == per1
+    # ...but the table DOES kick in where only the paraphrase module matches
+    _, (w,) = meteor({1: ["normal heart"]}, {1: ["unremarkable heart"]}, paraphrases=table)
+    _, (wo,) = meteor({1: ["normal heart"]}, {1: ["unremarkable heart"]})
+    assert w > wo
