@@ -255,8 +255,11 @@ def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
     # synonym stage when a module is passed — this plumbing IS the wiring.
     meteor_syn = None
     meteor_para = None
+    meteor_fw = None
     if split == "test":
-        from cxrmate_tpu.eval.meteor import load_paraphrase_table, wordnet_synonyms
+        from cxrmate_tpu.eval.meteor import (load_function_words,
+                                             load_paraphrase_table,
+                                             wordnet_synonyms)
 
         meteor_syn = wordnet_synonyms()
         # the jar's paraphrase module is file-gated like the SPICE adapter:
@@ -264,6 +267,10 @@ def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
         para_path = os.environ.get("CXRMATE_METEOR_PARAPHRASES")
         if para_path:
             meteor_para = load_paraphrase_table(para_path)
+        # likewise, the jar's exact function.words file (δ-weighting list)
+        fw_path = os.environ.get("CXRMATE_METEOR_FUNCTION_WORDS")
+        if fw_path:
+            meteor_fw = load_function_words(fw_path)
     out = {}
     for section in task.sections_to_evaluate:
         out[f"{split}_{section}_nlg"] = COCONLGMetrics(
@@ -271,6 +278,7 @@ def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
             metrics=("bleu", "cider", "rouge") + (("meteor",) if split == "test" else ()),
             meteor_synonyms=meteor_syn,
             meteor_paraphrases=meteor_para,
+            meteor_function_words=meteor_fw,
         )
         if chexbert_fn is not None:
             out[f"{split}_{section}_chexbert"] = CheXbertMetrics(

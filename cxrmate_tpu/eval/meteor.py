@@ -15,7 +15,9 @@ Faithful to METEOR 1.5 (Denkowski & Lavie 2014) for English:
     Module weights 1.0 / 0.6 / 0.8 / 0.6.
   * English parameters: α=0.85, β=0.2, γ=0.6, δ=0.75.
   * content/function-word weighting: function words (built-in list approximating
-    the jar's corpus-derived function.words file) weigh (1−δ), content words δ.
+    the jar's corpus-derived function.words file; load the jar's file verbatim
+    via ``load_function_words`` / CXRMATE_METEOR_FUNCTION_WORDS) weigh (1−δ),
+    content words δ.
   * alignment: one-to-one word alignment chosen by beam search maximising total
     matches, then minimising chunks, then minimising total match distance —
     the jar's Aligner resolution order.
@@ -38,7 +40,12 @@ class ParaphraseTable:
     """Phrase → {paraphrase phrases} lookup (symmetric), the jar's paraphrase
     module data. Phrases are space-joined lowercase token sequences."""
 
+    _EMPTY: frozenset = frozenset()
+
     def __init__(self, pairs):
+        # values stay plain sets (never mutated after construction) — a
+        # frozenset rebuild would transiently double peak memory for the
+        # multi-million-pair paraphrase-en.gz case
         table: Dict[str, set] = {}
         for a, b in pairs:
             a, b = a.strip().lower(), b.strip().lower()
@@ -46,11 +53,11 @@ class ParaphraseTable:
                 continue
             table.setdefault(a, set()).add(b)
             table.setdefault(b, set()).add(a)
-        self._table = {k: frozenset(v) for k, v in table.items()}
+        self._table = table
         self.max_len = max((len(k.split()) for k in self._table), default=0)
 
-    def get(self, phrase: str) -> frozenset:
-        return self._table.get(phrase, frozenset())
+    def get(self, phrase: str):
+        return self._table.get(phrase, self._EMPTY)
 
     def __len__(self) -> int:
         return len(self._table)
@@ -58,21 +65,52 @@ class ParaphraseTable:
 
 def load_paraphrase_table(path: str) -> ParaphraseTable:
     """Load a METEOR paraphrase table (the jar's ``data/paraphrase-en.gz``).
-    Accepts gzip or plain text; each line is ``phrase ||| paraphrase`` with an
-    optional leading probability field (``p ||| phrase ||| paraphrase``) —
+    Accepts gzip (detected by magic bytes, not suffix) or plain text; each line
+    is ``phrase ||| paraphrase`` with an optional probability field on either
+    end (``p ||| phrase ||| paraphrase`` or ``phrase ||| paraphrase ||| p``) —
     probabilities are ignored, the jar treats listed pairs as matched at the
-    module weight."""
+    module weight. Fails loudly (ValueError) when the file yields no pairs or
+    a substantial fraction of lines are unparseable, rather than silently
+    running the metric with a corrupt or empty table (same loud-failure
+    contract as the file-gated SPICE adapter)."""
     import gzip
 
-    opener = gzip.open if str(path).endswith(".gz") else open
+    def _is_prob(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    with open(path, "rb") as probe:
+        is_gzip = probe.read(2) == b"\x1f\x8b"
+    opener = gzip.open if is_gzip else open
     pairs = []
+    n_lines = n_bad = 0
     with opener(path, "rt", encoding="utf-8", errors="replace") as f:
         for line in f:
+            if not line.strip():
+                continue
+            n_lines += 1
             parts = [p.strip() for p in line.split("|||")]
-            if len(parts) == 2:
+            if len(parts) == 2 and parts[0] and parts[1]:
                 pairs.append((parts[0], parts[1]))
-            elif len(parts) == 3:
+            elif len(parts) == 3 and _is_prob(parts[0]) and parts[1] and parts[2]:
                 pairs.append((parts[1], parts[2]))
+            elif len(parts) == 3 and _is_prob(parts[2]) and parts[0] and parts[1]:
+                pairs.append((parts[0], parts[1]))
+            else:
+                n_bad += 1
+    if not pairs:
+        raise ValueError(
+            f"paraphrase table {path!r}: no 'phrase ||| paraphrase' pairs parsed "
+            f"({n_lines} non-empty lines) — wrong file or unsupported format"
+        )
+    if n_bad * 2 > n_lines:
+        raise ValueError(
+            f"paraphrase table {path!r}: {n_bad}/{n_lines} lines unparseable — "
+            "refusing to run the paraphrase stage on a mostly-corrupt table"
+        )
     return ParaphraseTable(pairs)
 
 # English function words: articles, conjunctions, prepositions, pronouns,
@@ -93,18 +131,44 @@ most few little less least
 """.split())
 
 
-def _word_weight(w: str, delta: float = DELTA) -> float:
-    return (1.0 - delta) if w in FUNCTION_WORDS else delta
+def load_function_words(path: str) -> frozenset:
+    """Load the jar's ``data/function.words`` verbatim (one lowercase word per
+    line; blank lines and ``#`` comments ignored) so the δ-weighting uses the
+    exact corpus-derived list instead of the built-in approximation. File-gated
+    like the paraphrase table (CXRMATE_METEOR_FUNCTION_WORDS); fails loudly on
+    an empty or wordless file."""
+    words = set()
+    with open(path, "rt", encoding="utf-8") as f:
+        for line in f:
+            w = line.strip().lower()
+            if w and not w.startswith("#"):
+                if len(w.split()) != 1:
+                    raise ValueError(
+                        f"function-word file {path!r}: multi-word line {w!r} — "
+                        "expected one word per line (the jar's function.words format)"
+                    )
+                words.add(w)
+    if not words:
+        raise ValueError(f"function-word file {path!r}: no words parsed")
+    return frozenset(words)
+
+
+def _word_weight(w: str, delta: float = DELTA, function_words: frozenset = None) -> float:
+    fw = FUNCTION_WORDS if function_words is None else function_words
+    return (1.0 - delta) if w in fw else delta
 
 
 def _candidate_matches(hyp: List[str], ref: List[str], synonyms,
-                       weights: Tuple[float, float, float], paraphrases=None,
+                       weights: Sequence[float], paraphrases=None,
                        ) -> List[List[Tuple[int, int, int, float]]]:
     """For each hyp start index, the (hyp_len, ref_start, ref_len, module weight)
     span candidates, using the highest-priority module matching each pair.
     Single-word modules (exact/stem/synonym) emit 1×1 spans; the paraphrase
-    module emits multi-word spans from the table."""
-    w_exact, w_stem, w_syn = weights
+    module emits multi-word spans from the table. ``weights`` is (exact, stem,
+    synonym) or (exact, stem, synonym, paraphrase); a 3-tuple uses the
+    METEOR-1.5 paraphrase weight."""
+    w_exact, w_stem, w_syn = weights[:3]
+    w_para = weights[3] if len(weights) > 3 else WEIGHT_PARA
     hyp_stems = [stem(w) for w in hyp]
     ref_stems = [stem(w) for w in ref]
     cands: List[List[Tuple[int, int, int, float]]] = []
@@ -132,12 +196,12 @@ def _candidate_matches(hyp: List[str], ref: List[str], synonyms,
                     for j, jn in ref_spans.get(q, ()):
                         if n == 1 and jn == 1 and j in matched_1x1:
                             continue  # a higher-priority module already matched it
-                        cands[i].append((n, j, jn, WEIGHT_PARA))
+                        cands[i].append((n, j, jn, w_para))
     return cands
 
 
 def _align(hyp: List[str], ref: List[str], synonyms,
-           weights: Tuple[float, float, float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
+           weights: Sequence[float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
            paraphrases=None,
            ) -> List[Tuple[int, int, int, int, float]]:
     """One-to-one span alignment via beam search: max matched words
@@ -210,18 +274,18 @@ class SegmentStats:
 
 
 def _segment_stats(hyp: List[str], ref: List[str], synonyms, delta: float = DELTA,
-                   weights: Tuple[float, float, float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
-                   paraphrases=None,
+                   weights: Sequence[float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
+                   paraphrases=None, function_words: Optional[frozenset] = None,
                    ) -> SegmentStats:
     if not hyp or not ref:
         return SegmentStats(
-            w_hyp=sum(_word_weight(w, delta) for w in hyp),
-            w_ref=sum(_word_weight(w, delta) for w in ref),
+            w_hyp=sum(_word_weight(w, delta, function_words) for w in hyp),
+            w_ref=sum(_word_weight(w, delta, function_words) for w in ref),
         )
     align = _align(hyp, ref, synonyms, weights, paraphrases)
     st = SegmentStats(
-        w_hyp=sum(_word_weight(w, delta) for w in hyp),
-        w_ref=sum(_word_weight(w, delta) for w in ref),
+        w_hyp=sum(_word_weight(w, delta, function_words) for w in hyp),
+        w_ref=sum(_word_weight(w, delta, function_words) for w in ref),
     )
     # matched-word count = average of hyp- and ref-side matched words (the
     # jar's MeteorStats averages the two; they only differ for phrase matches
@@ -229,8 +293,8 @@ def _segment_stats(hyp: List[str], ref: List[str], synonyms, delta: float = DELT
     m_hyp = m_ref = 0
     last = None
     for i, hl, j, jl, w in align:
-        st.wm_hyp += w * sum(_word_weight(x, delta) for x in hyp[i:i + hl])
-        st.wm_ref += w * sum(_word_weight(x, delta) for x in ref[j:j + jl])
+        st.wm_hyp += w * sum(_word_weight(x, delta, function_words) for x in hyp[i:i + hl])
+        st.wm_ref += w * sum(_word_weight(x, delta, function_words) for x in ref[j:j + jl])
         m_hyp += hl
         m_ref += jl
         if last is None or (i, j) != last:
@@ -247,8 +311,9 @@ def meteor(
     gts: Dict, res: Dict, synonyms: Optional[Callable[[str, str], bool]] = None,
     *,
     alpha: float = ALPHA, beta: float = BETA, gamma: float = GAMMA, delta: float = DELTA,
-    weights: Tuple[float, float, float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
+    weights: Sequence[float] = (WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN),
     paraphrases: Optional[ParaphraseTable] = None,
+    function_words: Optional[frozenset] = None,
 ) -> Tuple[float, List[float]]:
     """pycocoevalcap-style interface: gts/res are {id: [tokenised string, ...]};
     returns (corpus score from summed stats, per-item scores). Inputs are expected
@@ -259,15 +324,19 @@ def meteor(
     reproduce other members of the family — ``alpha=0.9, beta=3.0, gamma=0.5,
     delta=0.5, weights=(1, 1, 1)`` is METEOR-original (Lavie & Agarwal 2007, what
     nltk implements; δ=0.5 makes word weighting uniform), used by the
-    cross-validation test against nltk (tests/test_meteor.py)."""
+    cross-validation test against nltk (tests/test_meteor.py). ``weights`` takes
+    an optional 4th element for the paraphrase module (default 0.6, METEOR-1.5),
+    so alternative parameterizations apply to every stage."""
     agg = SegmentStats()
     per_item: List[float] = []
     for key in gts:
         hyp = res[key][0].lower().split()
         best: Optional[SegmentStats] = None
-        for ref_s in gts[key]:
+        # an empty reference list scores 0 (stats vs an empty reference),
+        # matching the hyp=='' handling, instead of crashing on best=None
+        for ref_s in gts[key] or [""]:
             st = _segment_stats(hyp, ref_s.lower().split(), synonyms, delta, weights,
-                                paraphrases)
+                                paraphrases, function_words)
             if best is None or st.score(alpha, beta, gamma) > best.score(alpha, beta, gamma):
                 best = st
         per_item.append(best.score(alpha, beta, gamma))

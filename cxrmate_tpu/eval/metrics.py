@@ -82,14 +82,17 @@ class COCONLGMetrics(_Accumulator):
     per-study CSV dump and DICOM→study mean aggregation (tools/metrics/coco.py)."""
 
     def __init__(self, split, exp_dir, accumulate_over_dicoms, metrics=("bleu", "cider", "rouge"),
-                 use_tokenizer: bool = True, meteor_synonyms=None, meteor_paraphrases=None):
+                 use_tokenizer: bool = True, meteor_synonyms=None, meteor_paraphrases=None,
+                 meteor_function_words=None):
         super().__init__(split, exp_dir, "nlg_scores", accumulate_over_dicoms)
         self.metrics = [m.lower() for m in metrics]
         self.use_tokenizer = use_tokenizer
-        # optional METEOR synonym module (eval/meteor.py:wordnet_synonyms) and
-        # paraphrase table (eval/meteor.py:load_paraphrase_table)
+        # optional METEOR synonym module (eval/meteor.py:wordnet_synonyms),
+        # paraphrase table (eval/meteor.py:load_paraphrase_table), and verbatim
+        # function-word list (eval/meteor.py:load_function_words)
         self.meteor_synonyms = meteor_synonyms
         self.meteor_paraphrases = meteor_paraphrases
+        self.meteor_function_words = meteor_function_words
 
     def update(self, predictions: Sequence[str], labels: Sequence[Sequence[str]],
                study_ids, dicom_ids=None):
@@ -135,7 +138,8 @@ class COCONLGMetrics(_Accumulator):
             from cxrmate_tpu.eval.meteor import meteor
 
             _, per = meteor(labels, preds, synonyms=self.meteor_synonyms,
-                            paraphrases=self.meteor_paraphrases)
+                            paraphrases=self.meteor_paraphrases,
+                            function_words=self.meteor_function_words)
             df["meteor"] = per
         if "spice" in self.metrics:
             from cxrmate_tpu.eval.spice import spice

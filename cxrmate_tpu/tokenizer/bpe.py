@@ -222,7 +222,11 @@ class ByteLevelBPETokenizer:
                     if not mapped:
                         continue
                     for tok in self._bpe(mapped):
-                        ids.append(vocab[tok])
+                        tid = vocab.get(tok)
+                        # mirror the native engine: a merge output missing from
+                        # the vocab (malformed merge table) is dropped, not a crash
+                        if tid is not None:
+                            ids.append(tid)
                 else:
                     for tok in self._bpe(mapped):
                         ids.append(vocab.get(tok, unk))

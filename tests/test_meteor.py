@@ -342,6 +342,97 @@ def test_paraphrase_table_loader_formats(tmp_path):
     tg = load_paraphrase_table(str(gz))
     assert "d" in tg.get("a b c") and tg.max_len == 3
 
+    # trailing-probability (PPDB-style) layout parses as the pair, not as
+    # (paraphrase, prob)
+    trail = tmp_path / "trail.txt"
+    trail.write_text("heart size ||| cardiac silhouette ||| 0.81\n")
+    tt = load_paraphrase_table(str(trail))
+    assert "cardiac silhouette" in tt.get("heart size")
+    assert not tt.get("0.81")
+
+    # gzip content is detected by magic bytes, not the suffix
+    gz_nosuffix = tmp_path / "para.bin"
+    with gzip.open(gz_nosuffix, "wt", encoding="utf-8") as f:
+        f.write("e f ||| g\n")
+    tn = load_paraphrase_table(str(gz_nosuffix))
+    assert "g" in tn.get("e f")
+
+
+def test_paraphrase_table_loader_fails_loudly(tmp_path):
+    """Wrong or mostly-corrupt files raise instead of silently yielding an
+    empty/garbage table (same loud-failure contract as the SPICE adapter)."""
+    from cxrmate_tpu.eval.meteor import load_paraphrase_table
+
+    empty = tmp_path / "empty.txt"
+    empty.write_text("\n\n")
+    with pytest.raises(ValueError, match="no 'phrase"):
+        load_paraphrase_table(str(empty))
+
+    wrong = tmp_path / "wrong.txt"
+    wrong.write_text("just some prose\nnot a table\n")
+    with pytest.raises(ValueError):
+        load_paraphrase_table(str(wrong))
+
+    ppdb = tmp_path / "ppdb.txt"  # 5-field PPDB layout is not supported — loud
+    ppdb.write_text(
+        "[NP] ||| heart size ||| cardiac silhouette ||| f=1 ||| 0-0\n"
+        "[NP] ||| a b ||| c d ||| f=1 ||| 0-0\n"
+        "ok ||| pair\n"
+    )
+    with pytest.raises(ValueError, match="unparseable"):
+        load_paraphrase_table(str(ppdb))
+
+
+def test_function_words_file_gate(tmp_path):
+    """load_function_words parses the jar's one-word-per-line format, fails
+    loudly on junk, and meteor(function_words=...) overrides the built-in list
+    (a word moved into the function class weighs (1-δ) instead of δ)."""
+    from cxrmate_tpu.eval.meteor import load_function_words
+
+    fw_file = tmp_path / "function.words"
+    fw_file.write_text("# comment\nthe\nof\nlungs\n\n")
+    fw = load_function_words(str(fw_file))
+    assert fw == {"the", "of", "lungs"}
+
+    with pytest.raises(ValueError, match="no words"):
+        empty = tmp_path / "empty.words"
+        empty.write_text("# only a comment\n")
+        load_function_words(str(empty))
+    with pytest.raises(ValueError, match="multi-word"):
+        bad = tmp_path / "bad.words"
+        bad.write_text("two words\n")
+        load_function_words(str(bad))
+
+    # 'lungs' is a content word by default; the custom list demotes it, so a
+    # hypothesis missing 'lungs' scores HIGHER under the custom weighting
+    gts = {1: ["the lungs are clear"]}
+    res = {1: ["the heart are clear"]}
+    _, (default_score,) = meteor(gts, res)
+    _, (custom_score,) = meteor(gts, res, function_words=fw)
+    assert custom_score > default_score
+
+
+def test_meteor_empty_reference_list_scores_zero():
+    """A key with zero references scores 0 instead of crashing (best=None)."""
+    corpus, per = meteor({1: [], 2: ["the lungs are clear"]},
+                         {1: ["some report"], 2: ["the lungs are clear"]})
+    assert per[0] == 0.0 and per[1] == 1.0
+    assert 0.0 < corpus <= 1.0
+
+
+def test_paraphrase_weight_configurable():
+    """weights=(e, s, syn, para) overrides the paraphrase module weight; at
+    weight 1.0 a pure paraphrase match scores like an exact match."""
+    table = _para_table([("x", "z")])
+    # hyp differs from ref by one extra word so the literal-identity
+    # zero-fragmentation special case does not fire in the exact analogue
+    _, (at_exact,) = meteor({1: ["z q"]}, {1: ["x q extra"]},
+                            weights=(1.0, 0.6, 0.8, 1.0), paraphrases=table)
+    _, (exact,) = meteor({1: ["z q"]}, {1: ["z q extra"]})
+    assert at_exact == pytest.approx(exact, abs=1e-12)
+    _, (default_w,) = meteor({1: ["z q"]}, {1: ["x q extra"]}, paraphrases=table)
+    assert default_w < at_exact  # 3-tuple default keeps the 0.6 METEOR-1.5 weight
+
 
 def test_paraphrase_span_match_hand_derived():
     """hyp 'cardiac silhouette enlarged' vs ref 'heart size enlarged' with the

@@ -98,3 +98,22 @@ def test_native_speedup(trained):
         native.encode(t)
     nat_dt = time.perf_counter() - t0
     assert nat_dt < py_dt, (nat_dt, py_dt)
+
+
+def test_malformed_merge_output_drops_in_both_paths():
+    """A merge whose concatenation is missing from the vocab (malformed
+    tokenizer.json, model unk null): both the Python and native encoders drop
+    the orphaned symbol instead of crashing (the Python path used to raise
+    KeyError where the native engine dropped)."""
+    specials = ["[UNK]", "[BOS]", "[EOS]", "[SEP]", "[PAD]", "[MASK]"]
+    vocab = {t: i for i, t in enumerate(specials)}
+    for ch in "abc":
+        vocab[ch] = len(vocab)
+    tok = ByteLevelBPETokenizer(vocab, [("a", "b")], unk_token=None)  # "ab" not in vocab
+    assert tok._encode_py("abc") == [vocab["c"]]
+    assert tok._encode_py("ab") == []
+    native = attach(tok)
+    if native is None:
+        pytest.skip("native build unavailable")
+    for text in ("abc", "ab", "cab", "aabbc"):
+        assert native.encode(text) == tok._encode_py(text), repr(text)
