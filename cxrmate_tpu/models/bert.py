@@ -419,6 +419,7 @@ def bert_step(
     from cxrmate_tpu.ops.decode_attention import (
         decode_attention,
         decode_attention_rowgrid,
+        decode_attention_rowgroup,
         kernel_enabled,
     )
 
@@ -475,8 +476,13 @@ def bert_step(
 
     def attn(qh, kh, vh, mask4d, mask2d):
         if use_kernel:
-            if os.environ.get("CXRMATE_DECODE_KERNEL") == "rowgrid":
+            env = os.environ.get("CXRMATE_DECODE_KERNEL", "")
+            if env == "rowgrid":
                 return decode_attention_rowgrid(qh, kh, vh, mask2d, scale, interpret=interpret)
+            if env.startswith("rowgroup"):  # "rowgroup" or "rowgroup:<G>"
+                grp = int(env.split(":", 1)[1]) if ":" in env else 4
+                return decode_attention_rowgroup(qh, kh, vh, mask2d, scale,
+                                                 group=grp, interpret=interpret)
             return decode_attention(qh, kh, vh, mask2d, scale, interpret=interpret)
         if use_blockdiag and qh.shape[2] == 1:
             return attn_blockdiag(qh, kh, vh, mask2d)

@@ -121,6 +121,70 @@ def decode_attention_rowgrid(
     )(q, k, v, additive_mask[:, None, :])
 
 
+def _attn_kernel_rowgroup(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
+                          heads: int, rows: int):
+    # one program per G-row group: q [G, H, M, dh]; k/v [G, H, S, dh];
+    # mask [G, 1, S] f32 additive; o [G, H, M, dh]
+    for g in range(rows):
+        mask = mask_ref[g]  # [1, S]
+        for h in range(heads):
+            q = q_ref[g, h]  # [M, dh]
+            scores = jax.lax.dot_general(
+                q, k_ref[g, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [M, S]
+            scores = scores * scale + mask
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+            ctx = jax.lax.dot_general(
+                probs, v_ref[g, h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [M, dh]
+            o_ref[g, h] = ctx.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "group", "interpret"))
+def decode_attention_rowgroup(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    additive_mask: jnp.ndarray,
+    scale: float,
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Same contract as :func:`decode_attention` but one grid cell per GROUP of
+    ``group`` batch rows (rows and heads unrolled in-kernel): grid-cell fixed
+    costs amortise over ``group``× more bytes than the rowgrid variant and each
+    DMA block is ``group``× larger (e.g. b=96, group=4 → 24 cells × ~14 MB K+V),
+    probing whether Mosaic's streaming reads reach the dot emitters' bandwidth
+    once per-cell overheads stop mattering. Falls back to the row grid when the
+    batch does not divide by ``group``. VMEM: 2×(K+V blocks) double-buffered —
+    group=4 at S≈1154, H=12 ≈ 28 MB, within the raised 100 MB scoped limit."""
+    b, h, m, dh = q.shape
+    s = k.shape[2]
+    if b % group != 0 or group <= 1:
+        return decode_attention_rowgrid(q, k, v, additive_mask, scale, interpret=interpret)
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = group
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_rowgroup, scale=scale, heads=h, rows=g),
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, h, m, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, h, s, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, h, s, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, 1, s), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, h, m, dh), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, m, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, additive_mask[:, None, :])
+
+
 def kernel_enabled() -> bool:
     """Opt-in via CXRMATE_DECODE_KERNEL=1 (or =rowgrid for the per-row grid).
     Off by default: on the axon-tunnelled v5e both variants measured *slower*

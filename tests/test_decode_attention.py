@@ -7,7 +7,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from cxrmate_tpu.ops.decode_attention import decode_attention, decode_attention_rowgrid
+from cxrmate_tpu.ops.decode_attention import (decode_attention,
+                                              decode_attention_rowgrid,
+                                              decode_attention_rowgroup)
 from cxrmate_tpu.ops.layers import attention
 
 
@@ -29,6 +31,64 @@ def test_kernel_matches_xla_attention(m):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
     got2 = decode_attention_rowgrid(q, k, v, mask2d, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=2e-5, atol=2e-5)
+    # rowgroup: b=3 is not divisible by 3's default group 4 → falls back to the
+    # row grid; group=3 runs the grouped kernel proper
+    got3 = decode_attention_rowgroup(q, k, v, mask2d, scale, group=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want), rtol=2e-5, atol=2e-5)
+    got4 = decode_attention_rowgroup(q, k, v, mask2d, scale, group=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_rowgroup_matches_grid_variants(group):
+    """The grouped kernel is value-identical to the per-(b,h) kernel (same op
+    order per head) across group sizes that divide the batch."""
+    rng = np.random.RandomState(1)
+    b, h, m, s, dh = 8, 3, 1, 192, 64
+    q = jnp.asarray(rng.randn(b, h, m, dh), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, s, dh), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, s, dh), jnp.float32)
+    mask2d = jnp.asarray(np.where(rng.rand(b, s) > 0.3, 0.0,
+                                  float(np.finfo(np.float32).min)), jnp.float32)
+    scale = 1.0 / np.sqrt(dh)
+    base = decode_attention(q, k, v, mask2d, scale, interpret=True)
+    grouped = decode_attention_rowgroup(q, k, v, mask2d, scale, group=group, interpret=True)
+    np.testing.assert_array_equal(np.asarray(grouped), np.asarray(base))
+
+
+def test_kernel_dispatch_end_to_end_greedy(monkeypatch):
+    """CXRMATE_DECODE_KERNEL=rowgroup[:G] routes the real decode loop through
+    the grouped kernel (interpret mode off-TPU) and produces the same tokens as
+    the default XLA path."""
+    torch = pytest.importorskip("torch")  # noqa: F841 — oracle build needs torch
+    from cxrmate_tpu.ckpt.hf_convert import convert_encoder_decoder
+    from cxrmate_tpu.configs import EncoderDecoderConfig
+    from cxrmate_tpu.generate import GenerationConfig, generate
+    from cxrmate_tpu.models import encoder_decoder as ed
+    from tests.oracles import (build_reference_model, small_bert_cfg_dataclass,
+                               small_cvt_cfg_dataclass)
+
+    BOS, EOS, SEP, PAD = 1, 2, 3, 4
+    ref = build_reference_model("multi", vocab_size=97, seed=5)
+    cfg = EncoderDecoderConfig(
+        encoder=small_cvt_cfg_dataclass(projection_size=32),
+        decoder=small_bert_cfg_dataclass(vocab_size=97, cross_dim=32),
+        variant="multi", image_size=64,
+    )
+    variables = convert_encoder_decoder(ref.state_dict(), cfg.encoder, cfg.decoder)
+    pixels = np.random.RandomState(3).randn(2, 2, 3, 64, 64).astype(np.float32)
+    enc_hidden, enc_mask, _ = ed.encode_images(variables, jnp.asarray(pixels), cfg)
+    gen_cfg = GenerationConfig(max_new_tokens=10, bos_token_id=BOS, eos_token_id=EOS,
+                               pad_token_id=PAD, special_token_ids=(SEP,))
+    prompt = jnp.full((2, 1), BOS, jnp.int32)
+    pmask = jnp.ones((2, 1), jnp.int32)
+
+    monkeypatch.delenv("CXRMATE_DECODE_KERNEL", raising=False)
+    base = np.asarray(generate(variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt, pmask))
+    for env in ("rowgroup:2", "rowgrid"):
+        monkeypatch.setenv("CXRMATE_DECODE_KERNEL", env)
+        got = np.asarray(generate(variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt, pmask))
+        np.testing.assert_array_equal(got, base), env
 
 
 def test_kernel_fully_masked_rows_are_finite():
