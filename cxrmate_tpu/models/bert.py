@@ -474,9 +474,19 @@ def bert_step(
         )  # [B, H, dh]
         return ctx.astype(qh.dtype)[:, :, None, :]
 
-    def attn(qh, kh, vh, mask4d, mask2d):
+    def attn(qh, kh, vh, mask4d, mask2d, is_cross=False):
         if use_kernel:
             env = os.environ.get("CXRMATE_DECODE_KERNEL", "")
+            # a "cross-" prefix routes ONLY the cross-attention (the large
+            # encoder-length KV stream, where per-call overhead amortises over
+            # MB-scale blocks) through the kernel, keeping XLA's fused lowering
+            # for the small segmented self-attention
+            if env.startswith("cross-"):
+                if not is_cross:
+                    if use_blockdiag and qh.shape[2] == 1:
+                        return attn_blockdiag(qh, kh, vh, mask2d)
+                    return attention(qh, kh, vh, scale, mask4d)
+                env = env[len("cross-"):]
             if env == "rowgrid":
                 return decode_attention_rowgrid(qh, kh, vh, mask2d, scale, interpret=interpret)
             if env.startswith("rowgroup"):  # "rowgroup" or "rowgroup:<G>"
@@ -521,11 +531,12 @@ def bert_step(
         if beams == 1:
             cctx = merge_heads(
                 attn(split_heads(cq, heads), cache.cross_k[i], cache.cross_v[i],
-                     cross_mask, cross_mask2d)
+                     cross_mask, cross_mask2d, is_cross=True)
             )
         else:
             cqh = cq.reshape(groups, beams, heads, config.head_dim).transpose(0, 2, 1, 3)
-            gctx = attn(cqh, cache.cross_k[i], cache.cross_v[i], cross_mask, cross_mask2d)
+            gctx = attn(cqh, cache.cross_k[i], cache.cross_v[i], cross_mask, cross_mask2d,
+                        is_cross=True)
             cctx = gctx.transpose(0, 2, 1, 3).reshape(bsz, 1, heads * config.head_dim)
         hidden = layer_norm(cp["ln"], linear(cp["out"], cctx) + hidden, config.layer_norm_eps)
 

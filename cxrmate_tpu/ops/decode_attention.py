@@ -186,16 +186,24 @@ def decode_attention_rowgroup(
 
 
 def kernel_enabled() -> bool:
-    """Opt-in via CXRMATE_DECODE_KERNEL=1 (or =rowgrid for the per-row grid).
-    Off by default: on the axon-tunnelled v5e both variants measured *slower*
-    than XLA's fused multiply-reduce lowering — batch 16: 532 vs 490 ms per
-    batch; batch 96: grid (b,h) 33.7 and rowgrid 41.8 vs XLA 45.0 studies/s
-    (per-grid-cell fixed costs dominate the (b,h) grid; the row grid closes
-    most but not all of the gap) — and MXU bf16×bf16→f32 accumulation rounds
-    differently from XLA's all-f32 elementwise path, so tokens are not
-    bit-identical to the XLA decode. Kept as groundwork: on hardware where
-    per-call overhead is lower, the traffic argument (no HBM-materialised
-    probs) still applies."""
+    """Opt-in via CXRMATE_DECODE_KERNEL (values: ``1`` = grid (b,h), ``rowgrid``
+    = per-row grid, ``rowgroup[:G]`` = one cell per G rows, and a ``cross-``
+    prefix to route ONLY the cross-attention through the kernel).
+
+    Off by default because MXU bf16×bf16→f32 accumulation rounds differently
+    from XLA's all-f32 elementwise multiply-reduce lowering, so tokens are not
+    guaranteed bit-identical to the parity-tested XLA decode (ulp-level argmax
+    flips are possible) — the golden-CSV reproduction path must stay exact.
+
+    Measured on the axon-tunnelled v5e (greedy b96, 4:32 segments, studies/s):
+    grid (b,h) 33.7, rowgrid 41.8, rowgroup:4 42.7 — per-cell fixed costs and
+    the SMALL segmented self-attention blocks keep every all-attention variant
+    below XLA's 47.4 — but **cross-rowgroup:4 = 49.7 (+5% over XLA)**: with the
+    kernel only on the cross-attention (the ~70%-of-step encoder-KV stream,
+    G·H·S·dh ≈ 14 MB blocks), Mosaic's streaming reads beat the ~370 GB/s XLA
+    matvec emitters while XLA keeps the small self-attention fusions it wins.
+    The fastest-known serving config on this backend; opt-in for the exactness
+    reason above."""
     env = os.environ.get("CXRMATE_DECODE_KERNEL")
     if env is not None:
         return env != "0"

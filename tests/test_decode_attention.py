@@ -85,7 +85,7 @@ def test_kernel_dispatch_end_to_end_greedy(monkeypatch):
 
     monkeypatch.delenv("CXRMATE_DECODE_KERNEL", raising=False)
     base = np.asarray(generate(variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt, pmask))
-    for env in ("rowgroup:2", "rowgrid"):
+    for env in ("rowgroup:2", "rowgrid", "cross-rowgroup:2"):
         monkeypatch.setenv("CXRMATE_DECODE_KERNEL", env)
         got = np.asarray(generate(variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt, pmask))
         np.testing.assert_array_equal(got, base), env
