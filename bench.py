@@ -67,7 +67,7 @@ def build(config, dtype=None, rng_seed=0):
     return variables
 
 
-def make_pipeline(config, variables, batch, decode_tokens):
+def make_pipeline(config, variables, batch, decode_tokens, decode_kernel=None):
     import jax
     import jax.numpy as jnp
 
@@ -93,6 +93,7 @@ def make_pipeline(config, variables, batch, decode_tokens):
         seqs = generate(
             variables, config, gen_cfg, enc_hidden, enc_mask, prompt,
             jnp.ones_like(prompt), use_fused=use_fused, cache_segments=cache_segments,
+            decode_kernel=decode_kernel,
         )
         return seqs
 
@@ -171,7 +172,7 @@ def make_longitudinal_beam_pipeline(config, decode_tokens, prompt_width,
 
 
 def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=None,
-        beam=False, longitudinal_prompt_width=None):
+        beam=False, longitudinal_prompt_width=None, decode_kernel=None):
     import jax
 
     if platform:
@@ -202,7 +203,8 @@ def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=
     elif beam:
         pipeline = make_beam_pipeline(config, decode_tokens)
     else:
-        pipeline = make_pipeline(config, variables, batch, decode_tokens)
+        pipeline = make_pipeline(config, variables, batch, decode_tokens,
+                                 decode_kernel=decode_kernel)
     # NOTE: synchronise via host transfer — on the axon backend block_until_ready
     # returns before execution finishes; fetching the (tiny) token output is the
     # only reliable fence. Dispatch is async, so queueing `iters` executions and
@@ -224,11 +226,13 @@ def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=
     return batch / dt, dt
 
 
-def run_train(iters=10):
-    """Reference multi TF train-step timing (mbatch 4×5 images, grad-accum 8,
-    bf16 compute / fp32 masters — `config/train/multi_tf.yaml:8`,
-    `single_tf.yaml:16-17,21`): ms/step and studies/sec/chip. Round-3 healthy:
-    ~113-116 ms (dropout-mask materialisation; DEVNOTES)."""
+def run_train(iters=10, mb=4, accumulate_steps=None, want_flops=False):
+    """Reference multi TF train-step timing (default mbatch 4×5 images,
+    grad-accum 8, bf16 compute / fp32 masters — `config/train/multi_tf.yaml:8`,
+    `single_tf.yaml:16-17,21`): ms/step and studies/sec/chip. ``mb`` sweeps the
+    per-chip microbatch at a FIXED accumulated batch of 32 (accumulate_steps
+    defaults to 32//mb). ``want_flops`` also returns the compiled step's flop
+    count (for an MFU estimate) when the backend exposes cost analysis."""
     import jax
     import jax.numpy as jnp
 
@@ -236,10 +240,12 @@ def run_train(iters=10):
     from cxrmate_tpu.train import tf_trainer
     from cxrmate_tpu.train.optim import adamw
 
-    mb, n_img, t = 4, 5, 256
+    n_img, t = 5, 256
+    if accumulate_steps is None:
+        accumulate_steps = max(1, 32 // mb)
     config = multi_tf_config(vocab_size=30000)
     variables = build(config, dtype=jnp.float32)
-    tx = adamw(5e-5, accumulate_steps=8)
+    tx = adamw(5e-5, accumulate_steps=accumulate_steps)
     state = tf_trainer.create_train_state(variables, tx)
     step = tf_trainer.make_train_step(config, tx, compute_dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
@@ -251,6 +257,14 @@ def run_train(iters=10):
         "label_ids": jnp.asarray(rng.randint(5, 29000, (mb, t)), jnp.int32),
     }
     key = jax.random.PRNGKey(0)
+    flops = None
+    if want_flops:
+        try:  # make_train_step returns a jitted fn → lower() is available
+            cost = step.lower(state, batch, key).compile().cost_analysis()
+            if cost:
+                flops = (cost[0] if isinstance(cost, (list, tuple)) else cost).get("flops")
+        except Exception:  # noqa: BLE001 - cost analysis is backend-optional
+            flops = None
     state, loss = step(state, batch, key)  # compile + warm
     np.asarray(loss)
     t0 = time.perf_counter()
@@ -258,7 +272,209 @@ def run_train(iters=10):
         state, loss = step(state, batch, key)
     np.asarray(loss)  # fence (axon: block_until_ready returns early)
     dt = (time.perf_counter() - t0) / iters
-    return dt, mb / dt
+    return dt, mb / dt, flops
+
+
+def run_scst(batch=1, iters=5, prompt_width=64):
+    """SCST train-step timing — the FLAGSHIP checkpoint's training mode (the
+    released ``aehrc/cxrmate`` is SCST-trained: `config/train/
+    longitudinal_gen_prompt_cxr-bert.yaml:8`, mbatch 1, accumulated 32).
+    Longitudinal/LoRA model, 2-image studies, ``prompt_width``-token generated
+    prompt, fused sampled+baseline rollout (one while_loop) + REINFORCE grad
+    step, bf16 compute / fp32 masters. The host reward round-trip (CXR-BERT)
+    is not part of this number — a synthetic advantage stands in, so this is
+    the pure device train step like ``run_train``."""
+    import jax
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.configs import longitudinal_config
+    from cxrmate_tpu.generate import GenerationConfig
+    from cxrmate_tpu.train import optim
+    from cxrmate_tpu.train.scst import make_scst_step
+    from cxrmate_tpu.train.tf_trainer import create_train_state
+
+    config = longitudinal_config(vocab_size=30000)
+    variables = build(config, dtype=jnp.float32)
+    mask = optim.mask_for_stage(variables["params"], "scst")
+    tx = optim.adamw(5e-6, accumulate_steps=max(1, 32 // batch), trainable_mask=mask)
+    state = create_train_state(variables, tx)
+    # special ids as the CLI fit_scst builds them (BOS=1, EOS=2, SEP=3, PAD=4,
+    # [PMT-SEP]=5): the sample half decodes with (BOS, SEP), the baseline half
+    # with the full prompt special set (scst/gt_prompt.py:165)
+    gen_sample = GenerationConfig(
+        max_new_tokens=DECODE_TOKENS, bos_token_id=1, eos_token_id=2,
+        pad_token_id=4, mask_token_id=4, special_token_ids=(1, 3),
+        token_type_sections=(0, 1, 0, 1),
+        do_sample=True, top_k=50, top_p=1.0, temperature=1.0,
+    )
+    gen_base = GenerationConfig(
+        max_new_tokens=DECODE_TOKENS, bos_token_id=1, eos_token_id=2,
+        pad_token_id=4, mask_token_id=4, special_token_ids=(5, 1, 3),
+        token_type_sections=(0, 1, 0, 1),
+    )
+    rollout, grad_step = make_scst_step(
+        config, gen_sample, gen_base, tx, trainable_mask=mask, pad_id=4,
+        compute_dtype=jnp.bfloat16,
+    )
+    rs = np.random.RandomState(0)
+    pixels = jnp.asarray(rs.randn(batch, N_IMAGES, 3, 384, 384), jnp.float32)
+    w = prompt_width
+    prompt_ids = jnp.asarray(np.concatenate(
+        [np.full((batch, 1), 1, np.int32),
+         rs.randint(6, 30000, size=(batch, w - 1)).astype(np.int32)], axis=1))
+    prompt_mask = jnp.ones((batch, w), jnp.int32)
+    advantage = jnp.asarray(rs.randn(batch).astype(np.float32) * 0.1)
+    rng = jax.random.PRNGKey(0)
+
+    def one_step(state):
+        variables_now = {"params": state.params, "batch_stats": state.batch_stats}
+        sampled, baseline, enc_h, enc_m = rollout(
+            variables_now, pixels, prompt_ids, prompt_mask, rng)
+        return grad_step(state, enc_h, enc_m, w, w - 1, sampled, advantage)
+
+    state, loss = one_step(state)  # compile + warm
+    np.asarray(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = one_step(state)
+    np.asarray(loss)  # fence
+    dt = (time.perf_counter() - t0) / iters
+    return dt, batch / dt
+
+
+JPEG_CORPUS_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_jpegs"
+)
+JPEG_CORPUS_N = 32          # distinct images, cycled across studies
+JPEG_CORPUS_HW = (3000, 2500)  # MIMIC-CXR-JPG sources are ~2500x3000 px
+
+
+def build_jpeg_corpus(dir_path=JPEG_CORPUS_DIR, n=JPEG_CORPUS_N, hw=JPEG_CORPUS_HW,
+                      seed=0):
+    """Synthetic MIMIC-like CXR JPEGs on disk (grayscale, smooth low-frequency
+    content + mild noise → realistic ~2 MB files), built once and cached."""
+    from PIL import Image
+
+    os.makedirs(dir_path, exist_ok=True)
+    paths = [os.path.join(dir_path, f"cxr_{i:03d}.jpg") for i in range(n)]
+    if all(os.path.exists(p) for p in paths):
+        return paths
+    h, w = hw
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    rng = np.random.RandomState(seed)
+    for i, p in enumerate(paths):
+        if os.path.exists(p):
+            continue
+        px, py = 300 + 40 * (i % 7), 400 + 30 * (i % 5)
+        base = 120 + 60 * np.sin(x / px + i) * np.cos(y / py) + 30 * np.sin((x + y) / 900)
+        img = np.clip(base + rng.randn(h, w) * 6, 0, 255).astype(np.uint8)
+        Image.fromarray(img, "L").save(p, "JPEG", quality=90)
+    return paths
+
+
+def run_loader_only(paths, n_images=64):
+    """Host loader rates, images/s (1 thread — the per-core ceiling; the loader
+    pool scales this by the host's core count):
+      * fast — the serving loader (fused native gray decode+resize+crop → u8);
+      * train — the training loader (native DCT-scaled decode + torchvision-
+        order augmentation, data/image.py:make_train_loader_transform);
+      * eval_pil — the PIL-bit-exact parity loader (full decode + PIL resize).
+    """
+    from cxrmate_tpu.data.image import (make_eval_loader_transform,
+                                        make_fast_eval_loader_transform,
+                                        make_train_loader_transform)
+
+    out = {}
+    for name, load, n in (
+        ("fast", make_fast_eval_loader_transform(384), n_images),
+        ("train", make_train_loader_transform(384, seed=0), n_images),
+        ("eval_pil", make_eval_loader_transform(384), max(8, n_images // 8)),
+    ):
+        load(paths[0])  # warm (builds the native .so, touches page cache)
+        t0 = time.perf_counter()
+        for i in range(n):
+            load(paths[i % len(paths)])
+        out[name] = n / (time.perf_counter() - t0)
+    return out
+
+
+def make_u8_pipeline(config, decode_tokens):
+    """The greedy pipeline fed CROPPED GRAY uint8 loader output [B, N, S, S]:
+    the device broadcasts to 3 channels and normalizes (fused by XLA into the
+    encoder's first conv) — 12x less host→device bytes than float32 CHW."""
+    import jax
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.data.image import IMAGENET_MEAN, IMAGENET_STD
+    from cxrmate_tpu.generate import GenerationConfig, generate
+    from cxrmate_tpu.models import encoder_decoder as ed
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=decode_tokens,
+        bos_token_id=1, eos_token_id=2, pad_token_id=4, special_token_ids=(3,),
+    )
+    cache_segments = os.environ.get("CXRMATE_CACHE_SEGMENTS", "4:32")
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)[:, None, None]
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)[:, None, None]
+
+    @jax.jit
+    def pipeline(variables, pixels_u8):
+        x = pixels_u8[:, :, None, :, :].astype(jnp.float32) / 255.0  # [B,N,1,S,S]
+        x = ((x - mean) / std).astype(jnp.bfloat16)
+        pixels = jnp.broadcast_to(
+            x, x.shape[:2] + (3,) + x.shape[3:]
+        )  # gray → RGB replication, like PIL convert("RGB")
+        enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
+        prompt = jnp.full((pixels.shape[0], 1), gen_cfg.bos_token_id, jnp.int32)
+        seqs = generate(
+            variables, config, gen_cfg, enc_hidden, enc_mask, prompt,
+            jnp.ones_like(prompt), cache_segments=cache_segments,
+        )
+        return seqs
+
+    return pipeline
+
+
+def run_input_pipeline(paths, batch=BATCH, decode_tokens=DECODE_TOKENS, n_batches=3,
+                       num_workers=2):
+    """END-TO-END disk→report throughput (VERDICT r3 item 1): JPEG bytes on
+    disk → fused native decode/resize/crop (u8) → Prefetcher → device
+    normalize+broadcast → CvT encode → 256-token greedy decode, at the greedy
+    serving batch. The reference's real workload decodes JPEGs host-side per
+    step (`/root/reference/data/dicom_id.py:78-95`, num_workers=5).
+
+    Returns (studies/s end-to-end, loader-limited studies/s estimate)."""
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.configs import multi_tf_config
+    from cxrmate_tpu.data.image import make_fast_eval_loader_transform
+    from cxrmate_tpu.data.pipeline import Prefetcher
+
+    config = multi_tf_config(vocab_size=30000)
+    variables = build(config)
+    pipeline = make_u8_pipeline(config, decode_tokens)
+    load = make_fast_eval_loader_transform(384)
+
+    def batches(n):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            for b in range(n):
+                flat = [paths[(b * batch * N_IMAGES + i) % len(paths)]
+                        for i in range(batch * N_IMAGES)]
+                imgs = list(pool.map(load, flat))
+                yield np.stack(imgs).reshape(batch, N_IMAGES, 384, 384)
+
+    # compile + warm with one host-loaded batch
+    warm = next(iter(batches(1)))
+    np.asarray(pipeline(variables, jnp.asarray(warm)))
+    t0 = time.perf_counter()
+    outs = []
+    for arr in Prefetcher(batches(n_batches), depth=2):
+        outs.append(pipeline(variables, jnp.asarray(arr)))
+    np.asarray(outs[-1])
+    dt = (time.perf_counter() - t0) / n_batches
+    return batch / dt, dt
 
 
 def cpu_baseline():
@@ -349,19 +565,108 @@ def main():
             # distribution is unavailable offline; per-bucket numbers are in config)
             vals = list(long_by_width.values())
             long_sps = sum(vals) / len(vals)
+    # opt-in fast serving decode (VERDICT r3 item 3): the cross-rowgroup Pallas
+    # kernel on the cross-KV stream — NOT bit-exact (MXU f32 accumulation; see
+    # ops/decode_attention.py:resolve_decode_kernel), flagged as such in the JSON
+    greedy_fast_sps = None
+    if os.environ.get("CXRMATE_BENCH_SKIP_FAST", "0") != "1":
+        try:
+            greedy_fast_sps, fast_dt = run(decode_kernel="cross-rowgroup:4")
+            print(
+                f"greedy fast (cross-rowgroup:4, non-bit-exact): batch={BATCH}; "
+                f"batch latency {fast_dt * 1e3:.1f} ms "
+                f"({fast_dt / BATCH * 1e3:.2f} ms/study)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
+            print(f"greedy-fast bench failed: {e}", file=sys.stderr)
+            errors.append(f"greedy_fast: {type(e).__name__}: {e}")
     train_ms = train_sps = None
+    train_sweep = {}
+    train_mfu = None
     if os.environ.get("CXRMATE_BENCH_SKIP_TRAIN", "0") != "1":
         try:
-            train_dt, train_sps = run_train()
+            train_dt, train_sps, train_flops = run_train(want_flops=True)
             train_ms = train_dt * 1e3
+            if train_flops:
+                # v5e peak ≈ 197 TFLOP/s bf16; cost_analysis counts the whole
+                # compiled step (fwd+bwd+optimizer)
+                train_mfu = float(train_flops) / train_dt / 197e12
             print(
                 f"train: multi TF step mbatch 4x5 images, accum 8, bf16; "
-                f"{train_ms:.1f} ms/step ({train_sps:.1f} studies/s)",
+                f"{train_ms:.1f} ms/step ({train_sps:.1f} studies/s"
+                + (f", MFU~{train_mfu * 100:.1f}%" if train_mfu else "") + ")",
                 file=sys.stderr,
             )
         except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
             print(f"train bench failed: {e}", file=sys.stderr)
             errors.append(f"train: {type(e).__name__}: {e}")
+        # per-chip batch sweep at a FIXED accumulated batch of 32 (VERDICT r3
+        # item 4): does the chip have more training throughput than the
+        # reference-shaped microbatch exposes?
+        if os.environ.get("CXRMATE_BENCH_SKIP_TRAIN_SWEEP", "0") != "1":
+            for mb in (8, 16):
+                try:
+                    dt_mb, sps_mb, _ = run_train(mb=mb, iters=5)
+                    train_sweep[str(mb)] = {
+                        "step_ms": round(dt_mb * 1e3, 1),
+                        "studies_per_sec": round(sps_mb, 2),
+                    }
+                    print(
+                        f"train sweep: mbatch {mb} (accum {32 // mb}); "
+                        f"{dt_mb * 1e3:.1f} ms/step ({sps_mb:.1f} studies/s)",
+                        file=sys.stderr,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    print(f"train sweep mbatch {mb} failed: {e}", file=sys.stderr)
+                    errors.append(f"train_sweep[{mb}]: {type(e).__name__}: {e}")
+            if train_ms is not None:
+                train_sweep["4"] = {"step_ms": round(train_ms, 1),
+                                    "studies_per_sec": round(train_sps, 2)}
+    # SCST train step (VERDICT r3 item 3): the flagship checkpoint's training
+    # mode, reference mbatch 1 (longitudinal_gen_prompt_cxr-bert.yaml:8) + the
+    # batch-8 point from the DEVNOTES A/Bs
+    scst_ms = scst_sps = scst8_sps = None
+    if os.environ.get("CXRMATE_BENCH_SKIP_SCST", "0") != "1":
+        for bb in (1, 8):
+            try:
+                dt_s, sps_s = run_scst(batch=bb, iters=5 if bb == 1 else 3)
+                print(
+                    f"scst: longitudinal/LoRA fused rollout + REINFORCE grad, "
+                    f"mbatch {bb}, prompt 64; {dt_s * 1e3:.1f} ms/step "
+                    f"({sps_s:.2f} studies/s)",
+                    file=sys.stderr,
+                )
+                if bb == 1:
+                    scst_ms, scst_sps = dt_s * 1e3, sps_s
+                else:
+                    scst8_sps = sps_s
+            except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
+                print(f"scst bench (mbatch {bb}) failed: {e}", file=sys.stderr)
+                errors.append(f"scst[{bb}]: {type(e).__name__}: {e}")
+    # end-to-end input pipeline (VERDICT r3 item 1): disk JPEGs → native
+    # loader → Prefetcher → device → report, plus loader-only rates
+    input_sps = None
+    loader_rates = {}
+    if os.environ.get("CXRMATE_BENCH_SKIP_INPUT", "0") != "1":
+        try:
+            paths = build_jpeg_corpus()
+            loader_rates = {k: round(v, 2) for k, v in run_loader_only(paths).items()}
+            print(
+                "loader-only (1 thread, images/s): "
+                + ", ".join(f"{k}={v}" for k, v in loader_rates.items()),
+                file=sys.stderr,
+            )
+            input_sps, input_dt = run_input_pipeline(paths)
+            print(
+                f"input-bound greedy: batch={BATCH} studies from disk JPEGs; "
+                f"batch latency {input_dt * 1e3:.1f} ms → {input_sps:.1f} studies/s "
+                f"(synthetic-fed: {sps:.1f})",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
+            print(f"input pipeline bench failed: {e}", file=sys.stderr)
+            errors.append(f"input: {type(e).__name__}: {e}")
     print(
         json.dumps(
             {
@@ -383,7 +688,29 @@ def main():
                 "train_studies_per_sec": (
                     round(train_sps, 2) if train_sps is not None else None
                 ),
+                "greedy_fast_studies_per_sec": (
+                    round(greedy_fast_sps, 3) if greedy_fast_sps is not None else None
+                ),
+                "greedy_fast_note": (
+                    "CXRMATE_DECODE_KERNEL=cross-rowgroup:4 — NOT bit-exact "
+                    "(MXU f32 accumulation; parity paths keep the exact XLA decode)"
+                    if greedy_fast_sps is not None else None
+                ),
+                "scst_step_ms": round(scst_ms, 1) if scst_ms is not None else None,
+                "scst_studies_per_sec": (
+                    round(scst_sps, 2) if scst_sps is not None else None
+                ),
+                "scst_b8_studies_per_sec": (
+                    round(scst8_sps, 2) if scst8_sps is not None else None
+                ),
+                "input_bound_studies_per_sec": (
+                    round(input_sps, 2) if input_sps is not None else None
+                ),
+                "loader_images_per_sec": loader_rates.get("fast"),
+                "train_mfu": round(train_mfu, 4) if train_mfu else None,
                 "config": {
+                    "loader_images_per_sec_by_path": loader_rates or None,
+                    "train_sweep_accum32": train_sweep or None,
                     "greedy_batch": BATCH,
                     "beam_batch": BEAM_BATCH,
                     "beam_ref_batch": BEAM_REF_BATCH,

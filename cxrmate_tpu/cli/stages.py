@@ -249,19 +249,19 @@ def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
     from cxrmate_tpu.eval.metrics import COCONLGMetrics, CheXbertMetrics, CXRBERTMetric
 
     accumulate = task.variant == "single"
-    # Pass the WordNet synonym module (the jar's third METEOR stage) through to
-    # the NLG metrics when the nltk corpus is installed; wordnet_synonyms warns
-    # and returns None otherwise (exact+stem only). meteor() only runs the
-    # synonym stage when a module is passed — this plumbing IS the wiring.
+    # The METEOR synonym module (the jar's third stage) is ON by default so a
+    # plain --test runs the jar's full English module stack exact→stem→synonym
+    # (/root/reference/tools/metrics/coco.py:59): the nltk WordNet corpus when
+    # installed, else the vendored table (eval/data/synonyms_en.txt).
     meteor_syn = None
     meteor_para = None
     meteor_fw = None
     if split == "test":
-        from cxrmate_tpu.eval.meteor import (load_function_words,
-                                             load_paraphrase_table,
-                                             wordnet_synonyms)
+        from cxrmate_tpu.eval.meteor import (default_synonyms,
+                                             load_function_words,
+                                             load_paraphrase_table)
 
-        meteor_syn = wordnet_synonyms()
+        meteor_syn = default_synonyms()
         # the jar's paraphrase module is file-gated like the SPICE adapter:
         # point CXRMATE_METEOR_PARAPHRASES at METEOR-1.5's data/paraphrase-en.gz
         para_path = os.environ.get("CXRMATE_METEOR_PARAPHRASES")
@@ -1045,17 +1045,39 @@ def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) ->
 
 def build_cxrbert_reward(task: TaskConfig):
     """Load the CXR-BERT reward model from the checkpoint zoo
-    (`microsoft/BiomedVLP-CXR-BERT-specialized` dir with weights + vocab.txt)."""
+    (`microsoft/BiomedVLP-CXR-BERT-specialized` dir with weights + vocab.txt).
+
+    The architecture is inferred from the state-dict shapes (the released
+    checkpoint resolves to BERT-base: 768 wide, 12 layers); the head count —
+    not recoverable from shapes — comes from config.json when present, else
+    the 64-dim-head convention. This lets the synthetic zoo's tiny CXR-BERT
+    (`data.synthetic.build_synthetic_cxrbert`) drive the identical code path
+    in dry runs."""
     from cxrmate_tpu.configs import BertDecoderConfig
     from cxrmate_tpu.reward.cxrbert import CXRBERTReward, convert_cxrbert
     from cxrmate_tpu.tokenizer.wordpiece import WordPieceTokenizer
 
     path = os.path.join(task.ckpt_zoo_dir, "microsoft", "BiomedVLP-CXR-BERT-specialized")
     sd = orbax_io.load_hf_pretrained_dir(path)
+    word = sd["bert.embeddings.word_embeddings.weight"]
+    hidden = int(word.shape[1])
+    heads = None
+    cfg_json = os.path.join(path, "config.json")
+    if os.path.exists(cfg_json):
+        import json
+
+        with open(cfg_json) as f:
+            heads = json.load(f).get("num_attention_heads")
     cfg = BertDecoderConfig(
-        vocab_size=sd["bert.embeddings.word_embeddings.weight"].shape[0],
-        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
-        intermediate_size=3072, max_position_embeddings=512, type_vocab_size=2,
+        vocab_size=int(word.shape[0]),
+        hidden_size=hidden,
+        num_hidden_layers=1 + max(
+            int(k.split(".")[3]) for k in sd if k.startswith("bert.encoder.layer.")
+        ),
+        num_attention_heads=heads or max(1, hidden // 64),
+        intermediate_size=int(sd["bert.encoder.layer.0.intermediate.dense.weight"].shape[0]),
+        max_position_embeddings=int(sd["bert.embeddings.position_embeddings.weight"].shape[0]),
+        type_vocab_size=int(sd["bert.embeddings.token_type_embeddings.weight"].shape[0]),
         pad_token_id=0, add_cross_attention=False,
     )
     params = convert_cxrbert(sd, cfg)

@@ -121,6 +121,37 @@ def make_eval_loader_transform(size: int = 384):
     return lambda path: eval_transform(load_image(path), size)
 
 
+def make_fast_eval_loader_transform(size: int = 384, normalize: bool = False):
+    """Throughput-serving loader — NOT PIL-bit-exact (the golden-CSV parity path
+    keeps ``make_eval_loader_transform``): one fused native call does the
+    DCT-scaled grayscale decode + bilinear resize (data/native
+    ``jpeg_decode_resized``), then a uint8 center crop. By default returns the
+    cropped GRAY uint8 [size, size] — the device broadcasts to 3 channels and
+    normalizes (``device_normalize_gray_u8``), which is 12× less host→device
+    bytes than normalized float32 CHW and lets XLA fuse the arithmetic into the
+    encoder's first conv. ``normalize=True`` instead returns float32 [3, size,
+    size] like the exact loader (CPU fallback paths). Falls back to the PIL
+    pipeline (grayscale) when the native decode is unavailable."""
+
+    def load(path: str):
+        from cxrmate_tpu.data import native as native_mod
+
+        arr = native_mod.load_jpeg_resized(path, size, gray=True, fast_dct=True)
+        if arr is None:  # PIL fallback (non-JPEG, colour source, no toolchain)
+            img = resize_shortest_edge(load_image(path, "L"), size)
+            arr = np.asarray(img)
+        if arr.ndim == 3:  # colour source fell through the RGB path
+            # ITU-R 601 luma like PIL convert("L")
+            arr = (arr @ np.array([0.299, 0.587, 0.114], np.float32)).astype(np.uint8)
+        arr = center_crop(arr[:, :, None], size)[:, :, 0]
+        if not normalize:
+            return arr
+        x = np.repeat(arr[None, :, :], 3, axis=0).astype(np.float32) / 255.0
+        return (x - IMAGENET_MEAN[:, None, None]) / IMAGENET_STD[:, None, None]
+
+    return load
+
+
 def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: bool = True):
     """Training loader: native libjpeg decode at a DCT-domain scale chosen so the
     shortest edge stays ≥ ``size`` (data/native/ — byte-identical to PIL at full

@@ -72,6 +72,12 @@ def _lib_locked():
         lib.jpeg_decode_rgb.argtypes = [
             ctypes.c_char_p, ctypes.c_ulong, ctypes.c_int, ctypes.c_char_p,
         ]
+        lib.jpeg_decode_resized.restype = ctypes.c_int
+        lib.jpeg_decode_resized.argtypes = [
+            ctypes.c_char_p, ctypes.c_ulong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_char_p,
+        ]
         _LIB = lib
     except Exception:  # noqa: BLE001 - toolchain/libjpeg missing → PIL fallback
         _FAILED = True
@@ -125,3 +131,71 @@ def load_jpeg_scaled(path: str, target_shortest: int) -> Optional[np.ndarray]:
     except OSError:
         return None
     return decode_jpeg(data, pick_scale_denom(data, target_shortest))
+
+
+# thread-local scratch for the fused decode+resize (loader pools call this
+# concurrently; the buffer is sized to the largest image seen per thread)
+import threading as _threading
+
+_SCRATCH = _threading.local()
+
+
+def decode_jpeg_resized(
+    data: bytes, target_shortest: int, gray: bool = True, fast_dct: bool = True,
+) -> Optional[np.ndarray]:
+    """Fused throughput-loader step: DCT-scaled decode (+optional grayscale /
+    JDCT_IFAST) and bilinear resize to torchvision's shortest-edge rule, all in
+    one C call (``jpeg_decode_resized``). Returns uint8 [H, W] (gray) or
+    [H, W, 3], shortest edge == ``target_shortest``; None on any failure
+    (caller falls back to the PIL path). NOT bit-identical to the PIL-exact
+    eval loader — serving/training throughput path only (the golden-CSV parity
+    path keeps PIL; see DEVNOTES 'input pipeline')."""
+    lib = _lib()
+    if lib is None:
+        return None
+    denom = pick_scale_denom(data, target_shortest)
+    w, h = ctypes.c_int(), ctypes.c_int()
+    # output dims follow torchvision's rule on the ORIGINAL dims (shortest edge
+    # -> size, long edge int-TRUNCATED) — the DCT-scaled decode dims round up
+    # per-MCU and would give an off-by-one long edge
+    if lib.jpeg_dims(data, len(data), 1, ctypes.byref(w), ctypes.byref(h)):
+        return None
+    fh, fw = h.value, w.value
+    if min(fh, fw) < target_shortest:
+        # tiny source: needs upscaling; the PIL path owns that case
+        return None
+    if fw <= fh:
+        ow, oh = target_shortest, int(target_shortest * fh / fw)
+    else:
+        ow, oh = int(target_shortest * fw / fh), target_shortest
+    if lib.jpeg_dims(data, len(data), denom, ctypes.byref(w), ctypes.byref(h)):
+        return None
+    ih, iw = h.value, w.value
+    comps = 1 if gray else 3
+    need = ih * iw * comps + 64 + 8 * ow + (0 if gray else (ih * iw + oh * ow))
+    work = getattr(_SCRATCH, "buf", None)
+    if work is None or work.size < need:
+        work = np.empty(max(need, 1 << 20), np.uint8)
+        _SCRATCH.buf = work
+    out = np.empty((oh, ow) if gray else (oh, ow, 3), np.uint8)
+    rc = lib.jpeg_decode_resized(
+        data, len(data), denom, 1 if gray else 0, 1 if fast_dct else 0,
+        oh, ow, out.ctypes.data_as(ctypes.c_char_p),
+        work.ctypes.data_as(ctypes.c_char_p),
+    )
+    if rc == 3 and gray:  # colour source: retry as RGB
+        return decode_jpeg_resized(data, target_shortest, gray=False, fast_dct=fast_dct)
+    if rc:
+        return None
+    return out
+
+
+def load_jpeg_resized(path: str, target_shortest: int, gray: bool = True,
+                      fast_dct: bool = True) -> Optional[np.ndarray]:
+    """Read + fused decode/resize (``decode_jpeg_resized``); None on failure."""
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    return decode_jpeg_resized(data, target_shortest, gray=gray, fast_dct=fast_dct)

@@ -77,3 +77,43 @@ def build_synthetic_dataset(
     )
     tok.save(tok_dir + os.sep)
     return {"dataset_dir": dataset_dir, "ckpt_zoo_dir": ckpt_zoo_dir, "tokenizer_dir": tok_dir}
+
+
+# a WordPiece vocab covering the synthetic report vocabulary (plus the BERT
+# specials the tokenizer requires) for the tiny CXR-BERT reward checkpoint
+_CXRBERT_VOCAB = (
+    "[PAD] [UNK] [CLS] [SEP] [MASK] the heart size is normal and lungs are clear "
+    "there a small left pleural effusion stable card ##iome ##gal ##y with no focal "
+    "consolidation acute cardiopulmonary process seen disease appearance study , ."
+).split()
+
+
+def build_synthetic_cxrbert(ckpt_zoo_dir: str, seed: int = 7) -> str:
+    """Write a tiny random-weight CXR-BERT reward checkpoint into the zoo at the
+    path ``build_cxrbert_reward`` loads (`microsoft/BiomedVLP-CXR-BERT-specialized`:
+    HF ``bert.*`` state dict + ``cls_projection_head`` + vocab.txt + config.json),
+    so dry runs and smoke tests exercise the REAL reward path (tokenise → two
+    BERT forwards → projected-CLS cosine, `tools/rewards/cxrbert.py:20-73`)
+    instead of a stub. The architecture is read back from the state dict /
+    config.json — only the real checkpoint's 768-wide shapes are special-cased
+    by nothing. Returns the checkpoint dir."""
+    import torch
+    import transformers
+
+    path = os.path.join(ckpt_zoo_dir, "microsoft", "BiomedVLP-CXR-BERT-specialized")
+    os.makedirs(path, exist_ok=True)
+    torch.manual_seed(seed)
+    cfg = transformers.BertConfig(
+        vocab_size=len(_CXRBERT_VOCAB), hidden_size=24, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=48, max_position_embeddings=64,
+        type_vocab_size=2, pad_token_id=0,
+    )
+    cfg._attn_implementation = "eager"
+    model = transformers.BertModel(cfg, add_pooling_layer=False).eval()
+    sd = {f"bert.{k}": v for k, v in model.state_dict().items()}
+    sd["cls_projection_head.weight"] = torch.nn.Linear(24, 16, bias=False).weight.data
+    torch.save(sd, os.path.join(path, "pytorch_model.bin"))
+    cfg.to_json_file(os.path.join(path, "config.json"))  # num_attention_heads source
+    with open(os.path.join(path, "vocab.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(_CXRBERT_VOCAB) + "\n")
+    return path

@@ -279,8 +279,14 @@ class BERTScoreMetric:
             out = self.scorer.score(preds[s : s + self.mbatch_size], labels[s : s + self.mbatch_size])
             for k in outs:
                 outs[k].append(out[k])
+        # raw and rescaled BERTScore live on very different scales (the
+        # reference ALWAYS rescales, tools/metrics/bertscore.py:93) — when the
+        # baseline TSV is missing, suffix every emitted key/column so a
+        # downstream consumer can never silently compare
+        # `..._bertscore_f1` across runs with and without the baseline
+        suffix = "" if self.scorer.baseline is not None else "_unrescaled"
         out_df = df.drop(columns=["prediction", "label"]).copy()
         for k in outs:
-            out_df[k] = np.concatenate(outs[k]) if outs[k] else []
+            out_df[k + suffix] = np.concatenate(outs[k]) if outs[k] else []
         self._acc._save(out_df, epoch)
-        return {k: float(np.mean(np.concatenate(v))) for k, v in outs.items() if v}
+        return {k + suffix: float(np.mean(np.concatenate(v))) for k, v in outs.items() if v}

@@ -5,9 +5,10 @@ reference shells out to (pycocoevalcap invocation at
 
 Faithful to METEOR 1.5 (Denkowski & Lavie 2014) for English:
   * matcher modules in stage order: **exact** → **stem** (Snowball English,
-    `eval/stem.py`) → **synonym** (optional adapter; the jar uses a WordNet-derived
-    synonymy table that is not redistributable here — pass ``synonyms=`` to enable,
-    e.g. ``wordnet_synonyms`` when the nltk WordNet corpus is installed) →
+    `eval/stem.py`) → **synonym** (ON by default in the battery, like the jar's
+    English module stack: ``default_synonyms()`` uses the nltk WordNet corpus
+    when installed, else the vendored curated table
+    ``eval/data/synonyms_en.txt`` via ``load_synonym_table``) →
     **paraphrase** (optional; phrase-to-phrase span matches from the jar's
     paraphrase table — pass ``paraphrases=load_paraphrase_table(path)``; the
     table itself ships with the jar and is not redistributable here, so the
@@ -344,21 +345,24 @@ def meteor(
     return agg.score(alpha, beta, gamma), per_item
 
 
-def wordnet_synonyms() -> Optional[Callable[[str, str], bool]]:
-    """WordNet-backed synonym module (the jar's third stage). Returns None with a
-    warning when the nltk WordNet corpus is not installed (offline images)."""
+def wordnet_synonyms(warn: bool = True) -> Optional[Callable[[str, str], bool]]:
+    """WordNet-backed synonym module (the jar's third stage). Returns None —
+    with a warning unless ``warn=False`` — when the nltk WordNet corpus is not
+    installed (offline images); ``default_synonyms`` then falls back to the
+    vendored table so the battery still runs the jar's full module stack."""
     try:
         from nltk.corpus import wordnet
 
         wordnet.synsets("test")  # force corpus load
     except (ImportError, LookupError):
-        import warnings
+        if warn:
+            import warnings
 
-        warnings.warn(
-            "nltk WordNet corpus not installed — METEOR runs exact+stem only "
-            "(synonym stage disabled)",
-            RuntimeWarning,
-        )
+            warnings.warn(
+                "nltk WordNet corpus not installed — falling back to the vendored "
+                "synonymy table (eval/data/synonyms_en.txt) via default_synonyms()",
+                RuntimeWarning,
+            )
         return None
 
     def related(a: str, b: str) -> bool:
@@ -368,3 +372,84 @@ def wordnet_synonyms() -> Optional[Callable[[str, str], bool]]:
         return b in sa or a in {l.name() for s in wordnet.synsets(b) for l in s.lemmas()}
 
     return related
+
+
+class SynonymTable:
+    """Synonymy from a grouped word list — the default synonym module when the
+    WordNet corpus is absent.
+
+    The table file has one synonym group per line (comma-separated lowercase
+    lemmas; ``#`` comments and blank lines ignored). Lookup is keyed by surface
+    form AND Snowball stem — the stem-keying stands in for the lemmatised
+    (morphy) lookup WordNet-backed implementations do, so inflected forms
+    ("persists"/"remained") still hit their lemma's group. Two words are
+    synonymous when their key sets share a group id. Callable with the
+    ``synonyms=`` signature ``(a, b) -> bool`` that ``meteor`` expects."""
+
+    def __init__(self, groups):
+        self.groups = [frozenset(g) for g in groups if len(g) >= 2]
+        key_to_gids: Dict[str, set] = {}
+        for gid, g in enumerate(self.groups):
+            for w in g:
+                key_to_gids.setdefault(w, set()).add(gid)
+                key_to_gids.setdefault(stem(w), set()).add(gid)
+        self._key_to_gids = {k: frozenset(v) for k, v in key_to_gids.items()}
+        self._empty: frozenset = frozenset()
+
+    def _gids(self, w: str) -> frozenset:
+        direct = self._key_to_gids.get(w, self._empty)
+        stemmed = self._key_to_gids.get(stem(w), self._empty)
+        return direct | stemmed
+
+    def __call__(self, a: str, b: str) -> bool:
+        if a == b:
+            return True
+        ga = self._gids(a)
+        return bool(ga) and not ga.isdisjoint(self._gids(b))
+
+    def __len__(self) -> int:
+        return len(self.groups)
+
+
+def load_synonym_table(path: Optional[str] = None) -> SynonymTable:
+    """Load a grouped synonymy file (default: the vendored
+    ``eval/data/synonyms_en.txt`` — a curated approximation of the jar's
+    WordNet-derived English synonymy, written for this project because neither
+    the jar's database nor the WordNet corpus is redistributable/obtainable in
+    this offline image; see the file header for provenance). Fails loudly on an
+    empty or groupless file (same contract as ``load_paraphrase_table``)."""
+    import os
+
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "data", "synonyms_en.txt")
+    groups = []
+    with open(path, "rt", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip().lower()
+            if not line or line.startswith("#"):
+                continue
+            words = [w.strip() for w in line.split(",")]
+            words = [w for w in words if w]
+            if len(words) >= 2:
+                groups.append(words)
+    if not groups:
+        raise ValueError(
+            f"synonym table {path!r}: no groups parsed — expected one "
+            "comma-separated synonym group per line"
+        )
+    return SynonymTable(groups)
+
+
+_DEFAULT_SYNONYMS: Optional[Callable[[str, str], bool]] = None
+
+
+def default_synonyms() -> Callable[[str, str], bool]:
+    """The synonym module the battery runs BY DEFAULT, so a plain ``--test``
+    executes the jar's full English module stack exact→stem→synonym
+    (`/root/reference/tools/metrics/coco.py:59` — the jar always enables the
+    synonym stage for English): the real WordNet corpus when nltk can load it,
+    else the vendored table. Cached after the first call."""
+    global _DEFAULT_SYNONYMS
+    if _DEFAULT_SYNONYMS is None:
+        _DEFAULT_SYNONYMS = wordnet_synonyms(warn=False) or load_synonym_table()
+    return _DEFAULT_SYNONYMS

@@ -63,24 +63,30 @@ def beam_search(
     prompt_logits_col: Optional[int] = None,
     write_mode: Optional[str] = None,
     cache_segments: Optional[int] = None,
+    decode_kernel: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Public entry for beam-search decode — see ``_beam_search`` for the full
     argument docs. Resolves the env-dependent static knobs (``write_mode`` →
-    ``CXRMATE_BEAM_WRITE``, ``cache_segments`` → ``CXRMATE_CACHE_SEGMENTS``) at
-    CALL time, outside jit, so the jit cache is keyed on the RESOLVED values:
-    changing the env between calls in one process takes effect instead of
-    silently reusing the trace cached under ``None``."""
+    ``CXRMATE_BEAM_WRITE``, ``cache_segments`` → ``CXRMATE_CACHE_SEGMENTS``,
+    ``decode_kernel`` → ``CXRMATE_DECODE_KERNEL``) at CALL time, outside jit,
+    so the jit cache is keyed on the RESOLVED values: changing the env between
+    calls in one process takes effect instead of silently reusing the trace
+    cached under ``None``."""
+    from cxrmate_tpu.ops.decode_attention import resolve_decode_kernel
+
     return _beam_search(
         variables, config, gen_cfg, encoder_hidden, encoder_mask,
         prompt_ids, prompt_mask, prompt_logits_col,
         write_mode=resolve_write_mode(write_mode),
         cache_segments=resolve_cache_segments(cache_segments),
+        decode_kernel=resolve_decode_kernel(decode_kernel),
     )
 
 
 # prompt_logits_col is NOT static — see generate(): a static column would
 # recompile per distinct true prompt width despite the width bucketing
-@partial(jax.jit, static_argnames=("config", "gen_cfg", "write_mode", "cache_segments"))
+@partial(jax.jit, static_argnames=("config", "gen_cfg", "write_mode", "cache_segments",
+                                   "decode_kernel"))
 def _beam_search(
     variables,
     config: EncoderDecoderConfig,
@@ -92,6 +98,7 @@ def _beam_search(
     prompt_logits_col: Optional[int] = None,
     write_mode: Optional[str] = None,
     cache_segments: Optional[int] = None,
+    decode_kernel: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam-search decode → (sequences [B, P + max_new], scores [B]).
 
@@ -353,12 +360,14 @@ def _beam_search(
             logits, cache = bert_mod.bert_step(
                 params, dcfg, cache, q_tok, ttype, pos, i, key_mask[:, :t_cap],
                 enc_mask_flat, lora=config.lora, deferred_write=False,
+                decode_kernel=decode_kernel,
             )
             pending = None
         else:
             logits, pending = bert_mod.bert_step(
                 params, dcfg, cache, q_tok, ttype, pos, i, key_mask[:, :t_cap],
                 enc_mask_flat, lora=config.lora, deferred_write=True,
+                decode_kernel=decode_kernel,
             )
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         new_state, all_hit = select_and_update(

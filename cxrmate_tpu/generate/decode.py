@@ -188,18 +188,23 @@ def generate(
     use_fused: bool = False,
     prompt_logits_col: Optional[int] = None,
     cache_segments: Optional[int] = None,
+    decode_kernel: Optional[str] = None,
 ):
     """Public entry for greedy/sampled decoding — see ``_generate`` for the full
-    argument docs. Resolves the env-dependent static knob (``cache_segments`` →
-    ``CXRMATE_CACHE_SEGMENTS``) at CALL time, outside jit, so the jit cache is
-    keyed on the RESOLVED value: changing the env between calls in one process
-    takes effect instead of silently reusing the trace cached under ``None``."""
+    argument docs. Resolves the env-dependent static knobs (``cache_segments`` →
+    ``CXRMATE_CACHE_SEGMENTS``, ``decode_kernel`` → ``CXRMATE_DECODE_KERNEL``)
+    at CALL time, outside jit, so the jit cache is keyed on the RESOLVED
+    values: changing the env between calls in one process takes effect instead
+    of silently reusing the trace cached under ``None``."""
+    from cxrmate_tpu.ops.decode_attention import resolve_decode_kernel
+
     return _generate(
         variables, config, gen_cfg, encoder_hidden, encoder_mask,
         prompt_ids, prompt_mask, rng,
         max_new_tokens_pad=max_new_tokens_pad, return_scores=return_scores,
         use_fused=use_fused, prompt_logits_col=prompt_logits_col,
         cache_segments=resolve_cache_segments(cache_segments),
+        decode_kernel=resolve_decode_kernel(decode_kernel),
     )
 
 
@@ -211,7 +216,7 @@ def generate(
     # true width, defeating the bucketing (one program per bucket, not per batch)
     static_argnames=(
         "config", "gen_cfg", "max_new_tokens_pad", "return_scores", "use_fused",
-        "cache_segments",
+        "cache_segments", "decode_kernel",
     ),
 )
 def _generate(
@@ -229,6 +234,7 @@ def _generate(
     use_fused: bool = False,
     prompt_logits_col: Optional[int] = None,
     cache_segments: Optional[int] = None,
+    decode_kernel: Optional[str] = None,
 ):
     """Greedy or sampled decoding (num_beams == 1).
 
@@ -246,6 +252,9 @@ def _generate(
         narrower self-KV cache early, zero-padding it up between phases
         (bit-identical values; see ``segment_bounds``). None reads
         CXRMATE_CACHE_SEGMENTS (default "4:32").
+      decode_kernel: resolved Pallas decode-attention routing spec
+        (``ops.decode_attention.resolve_decode_kernel``; "" = XLA, the
+        default). Static, so each spec compiles its own program.
     Returns:
       sequences [B, P + max_new] (+ scores if requested).
     """
@@ -355,6 +364,7 @@ def _generate(
             params, dcfg, s["cache"], q_tok, ttype, pos, i,
             s["key_mask"][:, :t_cap], encoder_mask,
             lora=config.lora, use_fused=use_fused, fused_prepared=fused_prepared,
+            decode_kernel=decode_kernel,
         )
         rng_step, rng_next = jax.random.split(s["rng"])
         tok, step_scores = select_token(logits, rng_step)
@@ -404,21 +414,27 @@ def scst_rollout_decode(
     rng: jax.Array,
     cache_segments=None,
     prompt_logits_col=None,
+    decode_kernel: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Public entry for the fused SCST rollout — see ``_scst_rollout_decode``.
     Resolves ``cache_segments`` (env ``CXRMATE_SCST_CACHE_SEGMENTS`` handling
     lives in train/scst.py; ``None`` here reads ``CXRMATE_CACHE_SEGMENTS``)
-    at call time so the jit cache keys on the resolved value."""
+    and ``decode_kernel`` (``CXRMATE_DECODE_KERNEL``) at call time so the jit
+    cache keys on the resolved values."""
+    from cxrmate_tpu.ops.decode_attention import resolve_decode_kernel
+
     return _scst_rollout_decode(
         variables, config, cfg_sample, cfg_base, encoder_hidden, encoder_mask,
         prompt_ids, prompt_mask, rng,
         cache_segments=resolve_cache_segments(cache_segments),
         prompt_logits_col=prompt_logits_col,
+        decode_kernel=resolve_decode_kernel(decode_kernel),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "cfg_sample", "cfg_base", "cache_segments")
+    jax.jit,
+    static_argnames=("config", "cfg_sample", "cfg_base", "cache_segments", "decode_kernel"),
 )
 def _scst_rollout_decode(
     variables,
@@ -432,6 +448,7 @@ def _scst_rollout_decode(
     rng: jax.Array,
     cache_segments=None,
     prompt_logits_col=None,
+    decode_kernel: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SCST rollout: sampled sequences + greedy baselines in ONE decode loop.
 
@@ -555,6 +572,7 @@ def _scst_rollout_decode(
         logits, cache = bert_mod.bert_step(
             params, dcfg, s["cache"], q_tok, ttype, pos, i,
             s["key_mask"][:, :t_cap], encm2, lora=config.lora,
+            decode_kernel=decode_kernel,
         )
         rng_step, rng_next = jax.random.split(s["rng"])
         tok = select_token(logits, rng_step)

@@ -370,6 +370,7 @@ def bert_step(
     use_fused: bool = False,
     fused_prepared: Optional[list] = None,
     deferred_write: bool = False,
+    decode_kernel: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, DecodeCache]:
     """One decode step: token at dynamic position ``index``.
 
@@ -391,6 +392,11 @@ def bert_step(
         into its beam-reorder pass (generate/beam.py) — a separate
         dynamic-update-slice on the beam-reordered cache layout cost ~4.5 ms per
         step at batch 32 (sub-tile read-modify-writes).
+      decode_kernel: resolved Pallas decode-attention routing spec (see
+        ``ops.decode_attention.resolve_decode_kernel``; "" = XLA everywhere).
+        ``None`` reads ``CXRMATE_DECODE_KERNEL`` at TRACE time — the public
+        decode loops resolve it at call time and pass it through as a static
+        jit arg so env changes between calls take effect.
     Returns (logits [B, V], updated cache) — or (logits, new-kv tuples) when
     ``deferred_write`` is set.
     """
@@ -399,7 +405,25 @@ def bert_step(
         params, config, input_id[:, None], token_type_id[:, None], position_id[:, None],
         dtype=cache.cross_k[0].dtype,
     )
+    from cxrmate_tpu.ops.decode_attention import (
+        decode_attention,
+        decode_attention_rowgrid,
+        decode_attention_rowgroup,
+        resolve_decode_kernel,
+    )
+
+    decode_kernel = resolve_decode_kernel(decode_kernel)
     if use_fused and lora is None and not deferred_write:
+        if decode_kernel:
+            import warnings
+
+            warnings.warn(
+                "CXRMATE_DECODE_KERNEL=%r is ignored on the fused decode path "
+                "(use_fused=True routes whole layers through ops/fused_decode.py, "
+                "which has no per-module attention routing) — unset one of the two "
+                "knobs" % decode_kernel,
+                RuntimeWarning,
+            )
         from cxrmate_tpu.ops.fused_decode import fused_layer_step_v2
 
         h = hidden[:, 0, :]
@@ -416,13 +440,6 @@ def bert_step(
         return logits[:, 0, :], DecodeCache(
             tuple(self_k), tuple(self_v), cache.cross_k, cache.cross_v
         )
-    from cxrmate_tpu.ops.decode_attention import (
-        decode_attention,
-        decode_attention_rowgrid,
-        decode_attention_rowgroup,
-        kernel_enabled,
-    )
-
     self_mask2d = ((1.0 - key_mask.astype(jnp.float32)) * NEG)  # [B, T] additive
     cross_mask2d = ((1.0 - encoder_attention_mask.astype(jnp.float32)) * NEG)
     self_mask = self_mask2d[:, None, None, :]  # [B,1,1,T]
@@ -439,7 +456,6 @@ def bert_step(
     scale = 1.0 / math.sqrt(config.head_dim)
     # the Pallas decode-attention kernel avoids XLA's HBM-materialised
     # multiply-reduce lowering of M=1 attention (see ops/decode_attention.py)
-    use_kernel = kernel_enabled()
     interpret = jax.default_backend() != "tpu"
 
     use_blockdiag = os.environ.get("CXRMATE_BLOCKDIAG_ATTN", "0") == "1"
@@ -475,25 +491,23 @@ def bert_step(
         return ctx.astype(qh.dtype)[:, :, None, :]
 
     def attn(qh, kh, vh, mask4d, mask2d, is_cross=False):
-        if use_kernel:
-            env = os.environ.get("CXRMATE_DECODE_KERNEL", "")
-            # a "cross-" prefix routes ONLY the cross-attention (the large
-            # encoder-length KV stream, where per-call overhead amortises over
-            # MB-scale blocks) through the kernel, keeping XLA's fused lowering
-            # for the small segmented self-attention
-            if env.startswith("cross-"):
-                if not is_cross:
-                    if use_blockdiag and qh.shape[2] == 1:
-                        return attn_blockdiag(qh, kh, vh, mask2d)
-                    return attention(qh, kh, vh, scale, mask4d)
-                env = env[len("cross-"):]
-            if env == "rowgrid":
-                return decode_attention_rowgrid(qh, kh, vh, mask2d, scale, interpret=interpret)
-            if env.startswith("rowgroup"):  # "rowgroup" or "rowgroup:<G>"
-                grp = int(env.split(":", 1)[1]) if ":" in env else 4
-                return decode_attention_rowgroup(qh, kh, vh, mask2d, scale,
-                                                 group=grp, interpret=interpret)
+        # a "cross-" prefix routes ONLY the cross-attention (the large
+        # encoder-length KV stream, where per-call overhead amortises over
+        # MB-scale blocks) through the kernel, keeping XLA's fused lowering
+        # for the small segmented self-attention
+        spec = decode_kernel
+        if spec.startswith("cross-"):
+            spec = spec[len("cross-"):] if is_cross else ""
+        if spec == "rowgrid":
+            return decode_attention_rowgrid(qh, kh, vh, mask2d, scale, interpret=interpret)
+        if spec.startswith("rowgroup"):  # "rowgroup" or "rowgroup:<G>"
+            grp = int(spec.split(":", 1)[1]) if ":" in spec else 4
+            return decode_attention_rowgroup(qh, kh, vh, mask2d, scale,
+                                             group=grp, interpret=interpret)
+        if spec:
             return decode_attention(qh, kh, vh, mask2d, scale, interpret=interpret)
+        # the single shared XLA fallback (both the kernel-off default and the
+        # self-attention side of a "cross-" routing land here)
         if use_blockdiag and qh.shape[2] == 1:
             return attn_blockdiag(qh, kh, vh, mask2d)
         return attention(qh, kh, vh, scale, mask4d)

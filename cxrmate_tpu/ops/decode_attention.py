@@ -185,15 +185,26 @@ def decode_attention_rowgroup(
     )(q, k, v, additive_mask[:, None, :])
 
 
-def kernel_enabled() -> bool:
-    """Opt-in via CXRMATE_DECODE_KERNEL (values: ``1`` = grid (b,h), ``rowgrid``
-    = per-row grid, ``rowgroup[:G]`` = one cell per G rows, and a ``cross-``
-    prefix to route ONLY the cross-attention through the kernel).
+def resolve_decode_kernel(spec: "str | None" = None) -> str:
+    """Resolve the decode-attention kernel routing spec (trace-time static).
+
+    ``None`` reads ``CXRMATE_DECODE_KERNEL``; the empty string / ``"0"`` means
+    OFF (the default: XLA attention everywhere). Values: ``1`` = grid (b,h),
+    ``rowgrid`` = per-row grid, ``rowgroup[:G]`` = one cell per G rows, and a
+    ``cross-`` prefix to route ONLY the cross-attention through the kernel.
+    The public decode entry points (``generate`` / ``beam_search`` /
+    ``scst_rollout_decode``) resolve this at CALL time, outside jit, so the
+    jit cache is keyed on the RESOLVED spec — changing the env between calls
+    in one process takes effect instead of silently hitting the trace cached
+    under the old value (same contract as ``CXRMATE_CACHE_SEGMENTS``).
 
     Off by default because MXU bf16×bf16→f32 accumulation rounds differently
     from XLA's all-f32 elementwise multiply-reduce lowering, so tokens are not
     guaranteed bit-identical to the parity-tested XLA decode (ulp-level argmax
     flips are possible) — the golden-CSV reproduction path must stay exact.
+    Ignored (with a warning) on the fused decode path: ``use_fused=True``
+    routes whole layers through ops/fused_decode.py, which has no per-module
+    attention routing.
 
     Measured on the axon-tunnelled v5e (greedy b96, 4:32 segments, studies/s):
     grid (b,h) 33.7, rowgrid 41.8, rowgroup:4 42.7 — per-cell fixed costs and
@@ -204,7 +215,8 @@ def kernel_enabled() -> bool:
     matvec emitters while XLA keeps the small self-attention fusions it wins.
     The fastest-known serving config on this backend; opt-in for the exactness
     reason above."""
-    env = os.environ.get("CXRMATE_DECODE_KERNEL")
-    if env is not None:
-        return env != "0"
-    return False
+    if spec is None:
+        spec = os.environ.get("CXRMATE_DECODE_KERNEL", "")
+    if spec == "0":
+        return ""
+    return spec

@@ -59,12 +59,20 @@ def test_rowgroup_matches_grid_variants(group):
 def test_kernel_dispatch_end_to_end_greedy(monkeypatch):
     """CXRMATE_DECODE_KERNEL=rowgroup[:G] routes the real decode loop through
     the grouped kernel (interpret mode off-TPU) and produces the same tokens as
-    the default XLA path."""
+    the default XLA path.
+
+    The env knob is resolved at CALL time by the public ``generate`` wrapper and
+    threaded through as a static jit arg, so each spec compiles its own program
+    (no stale-jit-cache reuse — the round-3 vacuous-test bug). Trace-time call
+    counters on the kernel entry points prove the routing actually executes:
+    ``rowgroup``/``rowgrid`` must hit the kernel for self AND cross attention
+    (2 calls per layer in the traced body), ``cross-...`` for cross only."""
     torch = pytest.importorskip("torch")  # noqa: F841 — oracle build needs torch
     from cxrmate_tpu.ckpt.hf_convert import convert_encoder_decoder
     from cxrmate_tpu.configs import EncoderDecoderConfig
     from cxrmate_tpu.generate import GenerationConfig, generate
     from cxrmate_tpu.models import encoder_decoder as ed
+    from cxrmate_tpu.ops import decode_attention as da
     from tests.oracles import (build_reference_model, small_bert_cfg_dataclass,
                                small_cvt_cfg_dataclass)
 
@@ -83,12 +91,34 @@ def test_kernel_dispatch_end_to_end_greedy(monkeypatch):
     prompt = jnp.full((2, 1), BOS, jnp.int32)
     pmask = jnp.ones((2, 1), jnp.int32)
 
+    # count kernel invocations at TRACE time (models/bert.py re-imports these
+    # names from the module each bert_step, so the wrappers are picked up)
+    calls = {"rowgroup": 0, "rowgrid": 0, "grid": 0}
+    for name, key in (("decode_attention_rowgroup", "rowgroup"),
+                      ("decode_attention_rowgrid", "rowgrid"),
+                      ("decode_attention", "grid")):
+        orig = getattr(da, name)
+
+        def counted(*a, _orig=orig, _key=key, **kw):
+            calls[_key] += 1
+            return _orig(*a, **kw)
+
+        monkeypatch.setattr(da, name, counted)
+
     monkeypatch.delenv("CXRMATE_DECODE_KERNEL", raising=False)
     base = np.asarray(generate(variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt, pmask))
-    for env in ("rowgroup:2", "rowgrid", "cross-rowgroup:2"):
+    assert calls == {"rowgroup": 0, "rowgrid": 0, "grid": 0}  # default: XLA path
+
+    # the tiny oracle decoder has 2 layers → the single-phase loop body traces
+    # 2 self + 2 cross kernel calls for full routing, 2 cross-only for "cross-"
+    for env, key, n_min in (("rowgroup:2", "rowgroup", 4), ("rowgrid", "rowgrid", 4),
+                            ("cross-rowgroup:2", "rowgroup", 2)):
+        for k in calls:
+            calls[k] = 0
         monkeypatch.setenv("CXRMATE_DECODE_KERNEL", env)
         got = np.asarray(generate(variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt, pmask))
-        np.testing.assert_array_equal(got, base), env
+        assert calls[key] >= n_min, (env, calls)
+        np.testing.assert_array_equal(got, base, err_msg=env)
 
 
 def test_kernel_fully_masked_rows_are_finite():

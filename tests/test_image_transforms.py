@@ -171,6 +171,61 @@ def test_native_jpeg_scaled_decode_tolerance(tmp_path):
     assert mad < 0.05, mad
 
 
+def test_fused_decode_resize_tolerance(tmp_path):
+    """The fused native decode+resize (gray, IFAST DCT, bilinear) stays close
+    to the PIL-exact resize on band-limited content, at the exact torchvision
+    output shape (shortest edge → size, long edge int-truncated)."""
+    native = pytest.importorskip("cxrmate_tpu.data.native")
+    if not native.available():
+        pytest.skip("native jpeg decoder unavailable")
+    size = 96
+    arr = _smooth_image(900, 1200)
+    path = tmp_path / "big.jpg"
+    path.write_bytes(_jpeg_bytes(arr, "L"))
+
+    fused = native.load_jpeg_resized(str(path), size, gray=True, fast_dct=True)
+    ref = np.asarray(
+        image_mod.resize_shortest_edge(image_mod.load_image(str(path), "L"), size)
+    )
+    assert fused is not None and fused.shape == ref.shape, (fused.shape, ref.shape)
+    mad = np.abs(fused.astype(np.int32) - ref.astype(np.int32)).mean()
+    assert mad < 3.0, mad  # u8 levels
+
+    # colour sources route through the RGB path and still hit the target shape
+    rgb_arr = np.stack([arr, arr // 2, arr // 3], axis=-1)
+    cpath = tmp_path / "rgb.jpg"
+    cpath.write_bytes(_jpeg_bytes(rgb_arr, "RGB"))
+    fused_rgb = native.load_jpeg_resized(str(cpath), size, gray=True)
+    assert fused_rgb is not None and fused_rgb.shape == ref.shape + (3,)
+
+
+def test_fast_eval_loader_transform(tmp_path):
+    """The throughput loader returns a cropped gray uint8 square (or normalized
+    float32 CHW), and falls back to PIL for non-JPEG inputs."""
+    arr = _smooth_image(500, 700)
+    jpath = tmp_path / "a.jpg"
+    jpath.write_bytes(_jpeg_bytes(arr, "L"))
+
+    load_u8 = image_mod.make_fast_eval_loader_transform(size=96)
+    out = load_u8(str(jpath))
+    assert out.shape == (96, 96) and out.dtype == np.uint8
+
+    load_f = image_mod.make_fast_eval_loader_transform(size=96, normalize=True)
+    outf = load_f(str(jpath))
+    assert outf.shape == (3, 96, 96) and outf.dtype == np.float32
+    # the normalized path is the same pixels through ToTensor+Normalize
+    x = np.repeat(out[None], 3, 0).astype(np.float32) / 255.0
+    want = (x - image_mod.IMAGENET_MEAN[:, None, None]) / image_mod.IMAGENET_STD[:, None, None]
+    np.testing.assert_allclose(outf, want, rtol=0, atol=0)
+
+    from PIL import Image as PILImage
+
+    ppath = tmp_path / "b.png"
+    PILImage.fromarray(arr, "L").save(ppath)  # PNG → PIL fallback
+    out_png = load_u8(str(ppath))
+    assert out_png.shape == (96, 96) and out_png.dtype == np.uint8
+
+
 def test_train_loader_native_fallback(tmp_path):
     """Non-JPEG (or unreadable) inputs silently fall back to the PIL path."""
     from PIL import Image as PILImage
