@@ -84,6 +84,18 @@ class TaskConfig:
     # iteration-order-invariant. False restores dataset order. (Never applied to
     # generated-prompt datasets — their history threading fixes the order.)
     eval_sort_by_images: bool = True
+    # eval/test DECODE batch packing: decode in programs of ~this many beam
+    # rows regardless of mbatch_size (decode batch = eval_decode_rows //
+    # num_beams, capped at the per-rank dataset size; ragged tails are padded
+    # up to the compiled shape and sliced back). 96 rows is the measured
+    # throughput peak on the v5e for BOTH greedy (batch 96) and beam-4
+    # (24×4 — DEVNOTES round 2/3 sweeps); the reference's own test decode runs
+    # at task.mbatch_size (batch 8 → ~22% slower, BENCH_r03). Pure batching —
+    # per-study outputs are batch-size-invariant (token-identity test at both
+    # batchings, tests/test_cli_end_to_end.py). 0 disables (decode at
+    # mbatch_size). Never applied to generated-prompt datasets — their decode
+    # batch IS the allocator's lane count (history threading).
+    eval_decode_rows: int = 96
     decoder_max_len: int = 256
     num_test_beams: int = 4
     sections_to_evaluate: tuple = ("report",)

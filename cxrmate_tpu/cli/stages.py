@@ -296,28 +296,34 @@ def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
 
 
 def _decode_step_outputs(task, config, tokenizer, variables, batch, num_beams: int,
-                         mesh=None):
+                         mesh=None, pad_rows: int = 0):
     """Greedy (val) or beam (test) decode of one batch → findings/impression.
 
-    Under a mesh, the batch axis is padded to a multiple of the 'data' axis
-    (repeating the last study) and sharded; outputs are sliced back."""
+    The batch axis is padded (repeating the last study) up to ``pad_rows`` when
+    set — ragged tail batches reuse the full-size compiled decode program
+    instead of compiling a second one (evaluate()'s eval_decode_rows packing) —
+    and, under a mesh, up to a multiple of the 'data' axis; outputs are sliced
+    back to the true batch either way. Row padding is exact: every decode path
+    is row-independent (per-row logits/caches; the while-loop stop condition
+    only ever runs MORE steps for the padded rows)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from cxrmate_tpu.parallel.mesh import pad_to_multiple
 
     true_b = batch["images"].shape[0]
     images = np.asarray(batch["images"], np.float32)
     prev_f, prev_i = batch.get("previous_findings"), batch.get("previous_impression")
+    target = max(true_b, pad_rows or 0)
     if mesh is not None:
         dp = mesh.shape["data"]
-        images = pad_to_multiple(images, dp)
-        if prev_f is not None:
-            pad = images.shape[0] - true_b
-            prev_f = list(prev_f) + [prev_f[-1]] * pad
-            prev_i = list(prev_i) + [prev_i[-1]] * pad
+        target += (-target) % dp
         _place = lambda a: jax.device_put(np.asarray(a), NamedSharding(mesh, P("data")))
     else:
         _place = jnp.asarray
+    if target > true_b:
+        pad = target - true_b
+        images = np.concatenate([images, np.repeat(images[-1:], pad, axis=0)], axis=0)
+        if prev_f is not None:
+            prev_f = list(prev_f) + [prev_f[-1]] * pad
+            prev_i = list(prev_i) + [prev_i[-1]] * pad
     pixels = _place(images)
     enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
     longitudinal = VARIANT_TO_MODEL[task.variant] == "longitudinal"
@@ -415,7 +421,7 @@ def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: D
         # and a subject occupies ONE lane, so rank r decoding lanes r::world
         # in step order preserves every subject's history thread; the metric
         # layer gathers the disjoint per-rank row sets.
-        order, batch_rows = None, task.mbatch_size
+        order, batch_rows, pad_rows = None, task.mbatch_size, 0
         if jax.process_count() > 1:
             # The striding below is only sound under the allocator invariants
             # (dataset order IS the lane interleave, every lane fully
@@ -443,15 +449,31 @@ def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: D
                 and _collate_max_images(task) is None
                 and hasattr(dataset, "image_counts")):
             sort_key = dataset.image_counts()
+        # decode-batch packing (eval_decode_rows): decode in programs of ~96
+        # beam rows — the measured v5e throughput peak for greedy (batch 96)
+        # AND beam-4 (24×4) — instead of at mbatch_size (the reference decodes
+        # its test set at the train micro-batch, ~22% slower at b8, DEVNOTES).
+        # Pure batching: per-study outputs are batch-size-invariant
+        # (token-identity test at both batchings, tests/test_cli_end_to_end.py).
+        # Ragged tails are padded to the compiled shape inside
+        # _decode_step_outputs; capped at the per-rank share so tiny datasets
+        # don't decode mostly padding.
+        batch_rows, pad_rows = task.mbatch_size, 0
+        if task.eval_decode_rows:
+            per_rank = -(-len(dataset) // jax.process_count())
+            batch_rows = max(1, min(task.eval_decode_rows // max(1, num_beams),
+                                    per_rank))
+            pad_rows = batch_rows
         it = Prefetcher(
-            batch_iterator(dataset, task.mbatch_size, max_images=_collate_max_images(task),
+            batch_iterator(dataset, batch_rows, max_images=_collate_max_images(task),
                            num_workers=task.num_workers, sort_key=sort_key,
                            rank=jax.process_index(), world_size=jax.process_count())
         )
     for batch in it:
         with annotate("decode"):
             seqs, findings, impression = _decode_step_outputs(
-                task, config, tokenizer, variables, batch, num_beams, mesh=mesh
+                task, config, tokenizer, variables, batch, num_beams, mesh=mesh,
+                pad_rows=pad_rows,
             )
         kw = {"study_ids": batch["study_ids"]}
         if task.variant == "single":

@@ -972,3 +972,82 @@ def test_test_stage_refuses_missing_checkpoint(synthetic_dataset):
     task = _task(root, "multi", exp_dir=str(root / "exp_never_trained"))
     with pytest.raises(FileNotFoundError, match="no checkpoint"):
         run_test_stage(task)
+
+
+@pytest.fixture(scope="module")
+def packing_dataset(tmp_path_factory):
+    """7 test studies (3 subjects x 2 longitudinal studies + 1 no-previous
+    subject, mixed 1/2-image counts): enough rows that eval_decode_rows packing
+    regroups batches differently from mbatch_size AND leaves a ragged tail that
+    must be padded to the compiled shape."""
+    root = tmp_path_factory.mktemp("mimic_pack")
+    dataset_dir = root / "datasets"
+    files_dir = dataset_dir / "physionet.org" / "files" / "mimic-cxr-jpg" / "2.0.0"
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(7):
+        study = 3000 + i
+        subject = 300 + i // 2  # pairs -> longitudinal prompts; i=6 has none
+        for d in range(1 + i % 2):
+            dicom = f"pdcm{i}_{d}"
+            img_dir = files_dir / "files" / f"p{str(subject)[:2]}" / f"p{subject}" / f"s{study}"
+            img_dir.mkdir(parents=True, exist_ok=True)
+            arr = rng.randint(0, 255, size=(48, 40), dtype=np.uint8)
+            Image.fromarray(arr, "L").save(img_dir / f"{dicom}.jpg")
+            rows.append(
+                dict(dicom_id=dicom, study_id=study, subject_id=subject,
+                     split="test", findings=FINDINGS[i % 4],
+                     impression=IMPRESSION[i % 4],
+                     StudyDate=20200101 + i, StudyTime=120000.0 + i)
+            )
+    merged = dataset_dir / "mimic_cxr_merged"
+    merged.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(rows).to_csv(merged / "splits_reports_metadata.csv", index=False)
+    tok_dir = root / "checkpoints" / "mimic-cxr-tokenizers" / "bpe_prompt"
+    tok_dir.mkdir(parents=True, exist_ok=True)
+    tok = train_bpe(
+        FINDINGS + IMPRESSION, vocab_size=300,
+        additional_special_tokens=["[NPF]", "[NPI]", "[PMT]", "[PMT-SEP]"],
+    )
+    tok.save(str(tok_dir) + os.sep)
+    return root
+
+
+@pytest.mark.parametrize("variant", ["multi", "gt_prompt"])
+def test_eval_decode_packing_token_identical(packing_dataset, variant):
+    """VERDICT r3 next-5: eval_decode_rows packing is pure batching. The test
+    stage decoded at mbatch_size (packing off: batches 2,2,2,1) and packed into
+    eval_decode_rows=6 beam-row programs (beam 2 -> batches 3,3,1-padded-to-3)
+    emits bit-identical token ids per study. Covers the ragged-tail row
+    padding, regrouped collate image-slot pads, and (gt_prompt) prompt
+    tokenisation + width bucketing under repeated-row padding."""
+    root = packing_dataset
+
+    def _ptask(exp_name, rows):
+        return TaskConfig(
+            variant=variant,
+            exp_dir=str(root / exp_name),
+            dataset_dir=str(root / "datasets"),
+            ckpt_zoo_dir=str(root / "checkpoints"),
+            mbatch_size=2,
+            accumulated_mbatch_size=2,
+            decoder_max_len=24,
+            num_test_beams=2,
+            max_images_per_study=2,
+            model_preset="tiny",
+            image_size=32,
+            monitor="val_report_nlg_bleu_1",
+            fast_dev_run=True,  # fresh deterministic init (seeded by trial)
+            eval_decode_rows=rows,
+        )
+
+    def ids_csv(task):
+        files = sorted(glob.glob(os.path.join(
+            task.exp_dir_trial, "generated_report_ids", "*.csv")))
+        return pd.read_csv(files[-1]).sort_values("study_id").reset_index(drop=True)
+
+    unpacked = _ptask(f"exp_pack_off_{variant}", 0)
+    run_test_stage(unpacked)
+    packed = _ptask(f"exp_pack_on_{variant}", 6)
+    run_test_stage(packed)
+    pd.testing.assert_frame_equal(ids_csv(unpacked), ids_csv(packed))
