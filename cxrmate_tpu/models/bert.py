@@ -500,6 +500,12 @@ def bert_step(
             spec = spec[len("cross-"):] if is_cross else ""
         if spec == "rowgrid":
             return decode_attention_rowgrid(qh, kh, vh, mask2d, scale, interpret=interpret)
+        if spec.startswith("vpu-rowgroup"):  # "vpu-rowgroup" or "vpu-rowgroup:<G>"
+            from cxrmate_tpu.ops.decode_attention import decode_attention_rowgroup_vpu
+
+            grp = int(spec.split(":", 1)[1]) if ":" in spec else 4
+            return decode_attention_rowgroup_vpu(qh, kh, vh, mask2d, scale,
+                                                 group=grp, interpret=interpret)
         if spec.startswith("rowgroup"):  # "rowgroup" or "rowgroup:<G>"
             grp = int(spec.split(":", 1)[1]) if ":" in spec else 4
             return decode_attention_rowgroup(qh, kh, vh, mask2d, scale,

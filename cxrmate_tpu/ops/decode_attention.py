@@ -185,13 +185,86 @@ def decode_attention_rowgroup(
     )(q, k, v, additive_mask[:, None, :])
 
 
+def _attn_kernel_rowgroup_vpu(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
+                              heads: int, rows: int, m: int):
+    # one program per G-row group, VPU-ONLY arithmetic: q [G, H, M, dh];
+    # k/v [G, H, S, dh]; mask [G, S, 1] f32 additive; o [G, H, M, dh].
+    # Scores/context are f32 elementwise multiply + reduce — the same op
+    # decomposition XLA lowers the M=1 einsums to (convert→multiply→reduce),
+    # with NO MXU dot, probing whether Mosaic's reduce order can reproduce
+    # XLA's bit-for-bit (the MXU rowgroup kernel above cannot: its f32
+    # accumulation rounds differently). Shapes stay 2-D with a non-unit lane
+    # axis (scores as [S, 1] columns) to dodge the Mosaic unit-dim reshape
+    # limits (DEVNOTES).
+    for g in range(rows):
+        mask_col = mask_ref[g]  # [S, 1] f32
+        for h in range(heads):
+            kf = k_ref[g, h].astype(jnp.float32)  # [S, dh]
+            vf = v_ref[g, h].astype(jnp.float32)  # [S, dh]
+            ctx_rows = []
+            for mi in range(m):
+                qrow = jax.lax.slice(q_ref[g, h], (mi, 0), (mi + 1, kf.shape[1]))
+                prod = kf * qrow.astype(jnp.float32)  # [S, dh] f32 products
+                scores = jnp.sum(prod, axis=1, keepdims=True)  # [S, 1]
+                scores = scores * scale + mask_col
+                mx = jnp.max(scores, axis=0, keepdims=True)  # [1, 1]
+                e = jnp.exp(scores - mx)
+                probs = (e / jnp.sum(e, axis=0, keepdims=True)).astype(q_ref.dtype)
+                pf = probs.astype(jnp.float32)  # [S, 1]
+                ctx_rows.append(jnp.sum(pf * vf, axis=0, keepdims=True))  # [1, dh]
+            ctx = ctx_rows[0] if m == 1 else jnp.concatenate(ctx_rows, axis=0)
+            o_ref[g, h] = ctx.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "group", "interpret"))
+def decode_attention_rowgroup_vpu(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    additive_mask: jnp.ndarray,
+    scale: float,
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Same contract and blocking as :func:`decode_attention_rowgroup`, but the
+    in-kernel math is VPU-only (f32 elementwise multiply + reduce, no MXU dot)
+    — the bit-exactness candidate for replacing XLA's ~370 GB/s matvec
+    emitters on the cross-KV stream (VERDICT r3 stretch item). Hardware
+    equality vs the XLA attention path decides whether it can be a default;
+    results recorded in DEVNOTES round 4."""
+    b, h, m, dh = q.shape
+    s = k.shape[2]
+    if b % group != 0 or group <= 1:
+        group = 1
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = max(group, 1)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_rowgroup_vpu, scale=scale, heads=h, rows=g, m=m),
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, h, m, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, h, s, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, h, s, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, s, 1), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, h, m, dh), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, m, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, additive_mask[:, :, None])
+
+
 def resolve_decode_kernel(spec: "str | None" = None) -> str:
     """Resolve the decode-attention kernel routing spec (trace-time static).
 
     ``None`` reads ``CXRMATE_DECODE_KERNEL``; the empty string / ``"0"`` means
     OFF (the default: XLA attention everywhere). Values: ``1`` = grid (b,h),
-    ``rowgrid`` = per-row grid, ``rowgroup[:G]`` = one cell per G rows, and a
-    ``cross-`` prefix to route ONLY the cross-attention through the kernel.
+    ``rowgrid`` = per-row grid, ``rowgroup[:G]`` = one cell per G rows,
+    ``vpu-rowgroup[:G]`` = the rowgroup blocking with VPU-only f32
+    elementwise multiply+reduce math (the bit-exactness candidate — hardware
+    verdict in DEVNOTES round 4), and a ``cross-`` prefix to route ONLY the
+    cross-attention through the kernel.
     The public decode entry points (``generate`` / ``beam_search`` /
     ``scst_rollout_decode``) resolve this at CALL time, outside jit, so the
     jit cache is keyed on the RESOLVED spec — changing the env between calls

@@ -120,10 +120,60 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+def _packed_dropout_mask(rng: jax.Array, keep: float, shape, nbits: int) -> jnp.ndarray:
+    """Bernoulli(keep) mask from PACKED random bits: one uint32 threefry word
+    yields ``32 // nbits`` minor-axis-neighbouring mask elements (element
+    [..., j] reads sub-lane ``j % per`` of word [..., j // per] — a pure
+    function of key + logical index, so the mask is mesh-layout-invariant like
+    ``jax.random.bernoulli``). Two wins over the 32-bit path on the TF train
+    step (threefry generation + mask traffic are the whole remaining dropout
+    cost, DEVNOTES round 3): ``32/nbits``× fewer threefry ops, and the
+    materialise barrier stores the packed words — ``nbits/8`` bytes per
+    element instead of a 1-byte bool — while consumers re-unpack with two
+    cheap VPU ops inside their own fusions. The keep probability quantises to
+    ``round(keep * 2**nbits) / 2**nbits`` (16-bit: ≤2⁻¹⁶ absolute error;
+    8-bit: ≤2⁻⁹ — e.g. 0.9 → 230/256 = 0.8984)."""
+    per = 32 // nbits
+    if len(shape) == 0 or int(shape[-1]) < per:
+        # degenerate minor axis: packing buys nothing, keep the plain draw
+        words = jax.random.bits(rng, tuple(shape), jnp.uint32)
+        sub = words >> jnp.uint32(32 - nbits)
+    else:
+        # Pack along the MINOR axis only: words [..., ceil(last/per)], each
+        # word unpacked to `per` neighbouring lane elements via a broadcasted
+        # shift and a minor-dims-only reshape. Keeping the leading dims intact
+        # matters on TPU — a flat [n/per] word array forced a global relayout
+        # into every consumer fusion and measured SLOWER than unpacked masks
+        # (DEVNOTES round 4); lane-local unpack fuses for free.
+        *lead, last = (int(d) for d in shape)
+        nwords_last = -(-last // per)
+        words = jax.random.bits(rng, (*lead, nwords_last), jnp.uint32)
+        if os.environ.get("CXRMATE_DROPOUT_MATERIALIZE", "1") == "1":
+            words = jax.lax.optimization_barrier(words)
+        shifts = jnp.arange(per, dtype=jnp.uint32) * jnp.uint32(nbits)
+        sub = (words[..., :, None] >> shifts) & jnp.uint32((1 << nbits) - 1)
+        sub = sub.reshape(*lead, nwords_last * per)[..., :last]
+    thresh = jnp.uint32(int(round(keep * (1 << nbits))))
+    return sub < thresh
+
+
 def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
     if rate == 0.0 or rng is None:
         return x
     keep = 1.0 - rate
+    nbits = int(os.environ.get("CXRMATE_DROPOUT_BITS", "32"))
+    if nbits in (8, 16):
+        # OPT-IN experiment (measured a dead end — default stays 32):
+        # packed-bits Bernoulli, same keep probability to within 2⁻ⁿ, 32/n×
+        # fewer threefry ops. Deterministic and mesh-invariant like the
+        # default. On the reference multi train step every packed variant
+        # measured neutral-to-WORSE within one session (32-bit 113.3 ms vs
+        # 8-bit 115.7 / 16-bit ~118; both flat and minor-axis-local packings,
+        # with and without the materialise barrier — full A/B in DEVNOTES
+        # round 4): the per-consumer unpack (shift/and/cmp) and the packed
+        # words' layout cost eat the saved threefry work.
+        mask = _packed_dropout_mask(rng, keep, x.shape, nbits)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
     mask = jax.random.bernoulli(rng, keep, x.shape)
     if os.environ.get("CXRMATE_DROPOUT_MATERIALIZE", "1") == "1":
         # Force the bool mask to materialise once: without the barrier XLA

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 
 from cxrmate_tpu.ops.decode_attention import (decode_attention,
                                               decode_attention_rowgrid,
-                                              decode_attention_rowgroup)
+                                              decode_attention_rowgroup,
+                                              decode_attention_rowgroup_vpu)
 from cxrmate_tpu.ops.layers import attention
 
 
@@ -37,6 +38,13 @@ def test_kernel_matches_xla_attention(m):
     np.testing.assert_allclose(np.asarray(got3), np.asarray(want), rtol=2e-5, atol=2e-5)
     got4 = decode_attention_rowgroup(q, k, v, mask2d, scale, group=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got4), np.asarray(want), rtol=2e-5, atol=2e-5)
+    # the VPU-only kernel shares the f32 elementwise op decomposition of the
+    # XLA TPU lowering (convert→multiply→reduce, no dot). Interpret mode can't
+    # witness bit-equality — the CPU einsum's reduction order differs from
+    # jnp.sum already — so values are pinned tight here and the bitwise
+    # question is answered on hardware (scripts/ab_vpu_kernel.py → DEVNOTES).
+    got5 = decode_attention_rowgroup_vpu(q, k, v, mask2d, scale, group=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got5), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.parametrize("group", [2, 4])
@@ -93,9 +101,10 @@ def test_kernel_dispatch_end_to_end_greedy(monkeypatch):
 
     # count kernel invocations at TRACE time (models/bert.py re-imports these
     # names from the module each bert_step, so the wrappers are picked up)
-    calls = {"rowgroup": 0, "rowgrid": 0, "grid": 0}
+    calls = {"rowgroup": 0, "rowgrid": 0, "grid": 0, "vpu": 0}
     for name, key in (("decode_attention_rowgroup", "rowgroup"),
                       ("decode_attention_rowgrid", "rowgrid"),
+                      ("decode_attention_rowgroup_vpu", "vpu"),
                       ("decode_attention", "grid")):
         orig = getattr(da, name)
 
@@ -107,12 +116,13 @@ def test_kernel_dispatch_end_to_end_greedy(monkeypatch):
 
     monkeypatch.delenv("CXRMATE_DECODE_KERNEL", raising=False)
     base = np.asarray(generate(variables, cfg, gen_cfg, enc_hidden, enc_mask, prompt, pmask))
-    assert calls == {"rowgroup": 0, "rowgrid": 0, "grid": 0}  # default: XLA path
+    assert calls == {"rowgroup": 0, "rowgrid": 0, "grid": 0, "vpu": 0}  # default: XLA
 
     # the tiny oracle decoder has 2 layers → the single-phase loop body traces
     # 2 self + 2 cross kernel calls for full routing, 2 cross-only for "cross-"
     for env, key, n_min in (("rowgroup:2", "rowgroup", 4), ("rowgrid", "rowgrid", 4),
-                            ("cross-rowgroup:2", "rowgroup", 2)):
+                            ("cross-rowgroup:2", "rowgroup", 2),
+                            ("cross-vpu-rowgroup:2", "vpu", 2)):
         for k in calls:
             calls[k] = 0
         monkeypatch.setenv("CXRMATE_DECODE_KERNEL", env)

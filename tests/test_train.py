@@ -226,6 +226,41 @@ def test_dropout_materialize_barrier_is_bit_identical(monkeypatch):
     assert np.array_equal(g_on, g_off)
 
 
+def test_dropout_packed_bits_mask(monkeypatch):
+    """CXRMATE_DROPOUT_BITS (default 16): the packed-bits Bernoulli keeps the
+    dropout contract — deterministic per key, keep fraction within the
+    quantised probability's sampling noise, zeros exactly where dropped,
+    surviving elements scaled 1/keep — and "32" restores the exact
+    jax.random.bernoulli masks."""
+    from cxrmate_tpu.ops import layers
+
+    x = jnp.ones((512, 512), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    for nbits in ("8", "16"):
+        monkeypatch.setenv("CXRMATE_DROPOUT_BITS", nbits)
+        y1 = np.asarray(jax.jit(lambda x: layers.dropout(x, 0.1, key))(x))
+        y2 = np.asarray(layers.dropout(x, 0.1, key))
+        assert np.array_equal(y1, y2)  # deterministic, jit == eager
+        vals = np.unique(y1)
+        assert set(np.round(vals, 6)) <= {0.0, np.float32(np.round(1 / 0.9, 6))}
+        q = round(0.9 * (1 << int(nbits))) / (1 << int(nbits))
+        frac = (y1 != 0).mean()
+        # 512*512 draws: binomial std ≈ 0.0006 — 5 sigma band
+        assert abs(frac - q) < 0.003, (nbits, frac, q)
+        # packed masks must be a pure function of key+index: a second key differs
+        y3 = np.asarray(layers.dropout(x, 0.1, jax.random.PRNGKey(12)))
+        assert not np.array_equal(y1, y3)
+    # odd sizes exercise the tail slice (n not a multiple of 32/nbits)
+    monkeypatch.setenv("CXRMATE_DROPOUT_BITS", "16")
+    odd = np.asarray(layers.dropout(jnp.ones((3, 7, 5)), 0.3, key))
+    assert odd.shape == (3, 7, 5) and np.isfinite(odd).all()
+    # "32" restores the exact bernoulli mask values
+    monkeypatch.setenv("CXRMATE_DROPOUT_BITS", "32")
+    y32 = np.asarray(layers.dropout(x, 0.1, key))
+    ref = np.where(np.asarray(jax.random.bernoulli(key, 0.9, x.shape)), 1 / 0.9, 0.0)
+    np.testing.assert_array_equal(y32, ref.astype(np.float32))
+
+
 def test_train_base_rng_impl_knob(monkeypatch):
     """CXRMATE_TRAIN_RNG_IMPL: default threefry equals PRNGKey(trial); rbg keys
     drive the same train step (finite loss, params update) with a different,
