@@ -372,25 +372,36 @@ def build_jpeg_corpus(dir_path=JPEG_CORPUS_DIR, n=JPEG_CORPUS_N, hw=JPEG_CORPUS_
     return paths
 
 
-def run_loader_only(paths, n_images=64):
+def run_loader_only(paths, n_images=64, cache_dir=None):
     """Host loader rates, images/s (1 thread — the per-core ceiling; the loader
     pool scales this by the host's core count):
       * fast — the serving loader (fused native gray decode+resize+crop → u8);
       * train — the training loader (native DCT-scaled decode + torchvision-
         order augmentation, data/image.py:make_train_loader_transform);
-      * eval_pil — the PIL-bit-exact parity loader (full decode + PIL resize).
+      * eval_pil — the PIL-bit-exact parity loader (full decode + PIL resize);
+      * *_cached — the same loaders over a WARM decoded-image cache
+        (data/image.py 'decoded-image cache'; epoch-2+/re-run rates — JPEG
+        entropy decode, the cold paths' irreducible cost, is skipped).
     """
     from cxrmate_tpu.data.image import (make_eval_loader_transform,
                                         make_fast_eval_loader_transform,
                                         make_train_loader_transform)
 
+    cd = cache_dir or os.path.join(JPEG_CORPUS_DIR, ".decoded_cache")
     out = {}
     for name, load, n in (
         ("fast", make_fast_eval_loader_transform(384), n_images),
         ("train", make_train_loader_transform(384, seed=0), n_images),
         ("eval_pil", make_eval_loader_transform(384), max(8, n_images // 8)),
+        ("fast_cached", make_fast_eval_loader_transform(384, cache_dir=cd),
+         n_images * 8),
+        ("train_cached", make_train_loader_transform(384, seed=0, cache_dir=cd),
+         n_images * 4),
+        ("eval_pil_cached", make_eval_loader_transform(384, cache_dir=cd),
+         n_images * 4),
     ):
-        load(paths[0])  # warm (builds the native .so, touches page cache)
+        for p in (paths if name.endswith("_cached") else paths[:1]):
+            load(p)  # warm (native .so build, page cache, cache population)
         t0 = time.perf_counter()
         for i in range(n):
             load(paths[i % len(paths)])
@@ -436,14 +447,20 @@ def make_u8_pipeline(config, decode_tokens):
 
 
 def run_input_pipeline(paths, batch=BATCH, decode_tokens=DECODE_TOKENS, n_batches=3,
-                       num_workers=2):
+                       num_workers=2, cache_dir=None):
     """END-TO-END disk→report throughput (VERDICT r3 item 1): JPEG bytes on
     disk → fused native decode/resize/crop (u8) → Prefetcher → device
     normalize+broadcast → CvT encode → 256-token greedy decode, at the greedy
     serving batch. The reference's real workload decodes JPEGs host-side per
     step (`/root/reference/data/dicom_id.py:78-95`, num_workers=5).
 
-    Returns (studies/s end-to-end, loader-limited studies/s estimate)."""
+    With ``cache_dir`` the loader also runs over a WARM decoded-image cache
+    (populated before timing) — the epoch-2+/re-run rate with the JPEG entropy
+    decode amortised away.
+
+    Returns {mode: (studies/s end-to-end, batch seconds)} for mode in
+    ("cold",) + (("cached",) if cache_dir else ()) — one compiled pipeline is
+    shared across modes (each tunnel compile costs minutes)."""
     import jax.numpy as jnp
 
     from cxrmate_tpu.configs import multi_tf_config
@@ -453,9 +470,8 @@ def run_input_pipeline(paths, batch=BATCH, decode_tokens=DECODE_TOKENS, n_batche
     config = multi_tf_config(vocab_size=30000)
     variables = build(config)
     pipeline = make_u8_pipeline(config, decode_tokens)
-    load = make_fast_eval_loader_transform(384)
 
-    def batches(n):
+    def batches(load, n):
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
@@ -465,16 +481,26 @@ def run_input_pipeline(paths, batch=BATCH, decode_tokens=DECODE_TOKENS, n_batche
                 imgs = list(pool.map(load, flat))
                 yield np.stack(imgs).reshape(batch, N_IMAGES, 384, 384)
 
-    # compile + warm with one host-loaded batch
-    warm = next(iter(batches(1)))
-    np.asarray(pipeline(variables, jnp.asarray(warm)))
-    t0 = time.perf_counter()
-    outs = []
-    for arr in Prefetcher(batches(n_batches), depth=2):
-        outs.append(pipeline(variables, jnp.asarray(arr)))
-    np.asarray(outs[-1])
-    dt = (time.perf_counter() - t0) / n_batches
-    return batch / dt, dt
+    modes = [("cold", make_fast_eval_loader_transform(384))]
+    if cache_dir is not None:
+        cached_load = make_fast_eval_loader_transform(384, cache_dir=cache_dir)
+        for p in paths:
+            cached_load(p)  # populate before timing
+        modes.append(("cached", cached_load))
+
+    out = {}
+    for i, (mode, load) in enumerate(modes):
+        if i == 0:  # compile + warm with one host-loaded batch
+            warm = next(iter(batches(load, 1)))
+            np.asarray(pipeline(variables, jnp.asarray(warm)))
+        t0 = time.perf_counter()
+        outs = []
+        for arr in Prefetcher(batches(load, n_batches), depth=2):
+            outs.append(pipeline(variables, jnp.asarray(arr)))
+        np.asarray(outs[-1])
+        dt = (time.perf_counter() - t0) / n_batches
+        out[mode] = (batch / dt, dt)
+    return out
 
 
 def cpu_baseline():
@@ -646,24 +672,36 @@ def main():
                 errors.append(f"scst[{bb}]: {type(e).__name__}: {e}")
     # end-to-end input pipeline (VERDICT r3 item 1): disk JPEGs → native
     # loader → Prefetcher → device → report, plus loader-only rates
-    input_sps = None
+    input_sps = input_cached_sps = None
     loader_rates = {}
     if os.environ.get("CXRMATE_BENCH_SKIP_INPUT", "0") != "1":
         try:
             paths = build_jpeg_corpus()
-            loader_rates = {k: round(v, 2) for k, v in run_loader_only(paths).items()}
+            cache_dir = os.path.join(JPEG_CORPUS_DIR, ".decoded_cache")
+            loader_rates = {
+                k: round(v, 2)
+                for k, v in run_loader_only(paths, cache_dir=cache_dir).items()
+            }
             print(
                 "loader-only (1 thread, images/s): "
                 + ", ".join(f"{k}={v}" for k, v in loader_rates.items()),
                 file=sys.stderr,
             )
-            input_sps, input_dt = run_input_pipeline(paths)
+            res = run_input_pipeline(paths, cache_dir=cache_dir)
+            input_sps, input_dt = res["cold"]
             print(
                 f"input-bound greedy: batch={BATCH} studies from disk JPEGs; "
                 f"batch latency {input_dt * 1e3:.1f} ms → {input_sps:.1f} studies/s "
                 f"(synthetic-fed: {sps:.1f})",
                 file=sys.stderr,
             )
+            if "cached" in res:
+                input_cached_sps, cached_dt = res["cached"]
+                print(
+                    f"input-bound greedy (warm decoded cache): batch latency "
+                    f"{cached_dt * 1e3:.1f} ms → {input_cached_sps:.1f} studies/s",
+                    file=sys.stderr,
+                )
         except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
             print(f"input pipeline bench failed: {e}", file=sys.stderr)
             errors.append(f"input: {type(e).__name__}: {e}")
@@ -705,6 +743,9 @@ def main():
                 ),
                 "input_bound_studies_per_sec": (
                     round(input_sps, 2) if input_sps is not None else None
+                ),
+                "input_cached_studies_per_sec": (
+                    round(input_cached_sps, 2) if input_cached_sps is not None else None
                 ),
                 "loader_images_per_sec": loader_rates.get("fast"),
                 "train_mfu": round(train_mfu, 4) if train_mfu else None,

@@ -153,6 +153,15 @@ class TaskConfig:
     # model preset: "cxrmate" (CvT-21@384 + 6L BERT) or "tiny" (smoke tests)
     model_preset: str = "cxrmate"
     image_size: int = 384
+    # opt-in on-disk decoded-image cache shared by the train and eval loaders
+    # (data/image.py "decoded-image cache"): JPEG entropy decode is the host
+    # loaders' irreducible ~30-45 ms/image cost and every epoch/run re-decodes
+    # the same files; the cache stores each transform's own deterministic uint8
+    # intermediate (~150-180 KB/image), so cached outputs are byte-identical to
+    # uncached per path (the PIL-exact eval path stays PIL-exact) and warm
+    # epochs load at ~0.1-3 ms/image. None (default) matches the reference's
+    # re-decode-every-epoch behaviour (data/dicom_id.py:78-95).
+    image_cache_dir: Optional[str] = None
 
     @property
     def exp_dir_trial(self) -> str:

@@ -215,9 +215,11 @@ def make_datasets(task: TaskConfig, split: str, train: bool):
         task.dataset_dir, "physionet.org", "files", "mimic-cxr-jpg", "2.0.0", "files"
     )
     load = (
-        image_mod.make_train_loader_transform(size=task.image_size, seed=task.trial)
+        image_mod.make_train_loader_transform(
+            size=task.image_size, seed=task.trial, cache_dir=task.image_cache_dir)
         if train
-        else image_mod.make_eval_loader_transform(size=task.image_size)
+        else image_mod.make_eval_loader_transform(
+            size=task.image_size, cache_dir=task.image_cache_dir)
     )
     # num_workers threads decode JPEGs concurrently (reference uses 5 loader workers)
     if task.variant == "single":

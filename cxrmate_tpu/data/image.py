@@ -10,6 +10,8 @@ but not bit-identical to PIL, so it is opt-in."""
 
 from __future__ import annotations
 
+import hashlib
+import os
 import random
 from typing import Optional, Tuple
 
@@ -79,13 +81,18 @@ def normalize_chw(arr_hwc_u8: np.ndarray) -> np.ndarray:
     return np.transpose(x, (2, 0, 1))
 
 
-def eval_transform(img, size: int = 384) -> np.ndarray:
+def eval_transform_u8(img, size: int = 384) -> np.ndarray:
+    """The deterministic uint8 prefix of ``eval_transform`` (resize → gray→RGB
+    stack → center crop) — the part the decoded-image cache stores."""
     img = resize_shortest_edge(img, size)
     arr = np.asarray(img)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
-    arr = center_crop(arr, size)
-    return normalize_chw(arr)
+    return center_crop(arr, size)
+
+
+def eval_transform(img, size: int = 384) -> np.ndarray:
+    return normalize_chw(eval_transform_u8(img, size))
 
 
 def train_transform(img, size: int = 384, rng: Optional[random.Random] = None,
@@ -97,11 +104,20 @@ def train_transform(img, size: int = 384, rng: Optional[random.Random] = None,
     False, fill 0) → ToTensor → Normalize. ``crop_ij``/``angle`` inject the random
     parameters (used by the torchvision parity test); by default they are drawn
     from ``rng`` in the same order torchvision draws them (crop i, j, then angle)."""
-    rng = rng or random.Random()
     img = resize_shortest_edge(img, size)
     if img.mode != "RGB":
         img = img.convert("RGB")
-    arr = pad_if_needed(np.asarray(img), size)
+    return train_augment(np.asarray(img), size, rng, rotation_degrees, crop_ij, angle)
+
+
+def train_augment(arr: np.ndarray, size: int, rng: Optional[random.Random] = None,
+                  rotation_degrees: float = 5.0,
+                  crop_ij: Optional[Tuple[int, int]] = None,
+                  angle: Optional[float] = None) -> np.ndarray:
+    """The augmentation tail of ``train_transform``, taking the already
+    resized RGB uint8 HWC array (what the decoded-image cache stores)."""
+    rng = rng or random.Random()
+    arr = pad_if_needed(arr, size)
     h, w = arr.shape[:2]
     if crop_ij is None:
         crop_ij = (rng.randint(0, h - size), rng.randint(0, w - size))
@@ -115,13 +131,70 @@ def train_transform(img, size: int = 384, rng: Optional[random.Random] = None,
     return normalize_chw(np.asarray(img))
 
 
-def make_eval_loader_transform(size: int = 384):
-    # eval stays PIL-exact end-to-end: output parity with the reference requires
-    # bit-identical decode + resize (single.py:248-262)
-    return lambda path: eval_transform(load_image(path), size)
+# ----------------------------------------------------------- decoded-image cache
+# JPEG entropy (Huffman) decode is the loaders' irreducible per-image cost on
+# the host — ~30-45 ms/image for ~2 MB MIMIC-sized sources on one core at any
+# DCT scale (DEVNOTES "input pipeline", round 4) — while np.load of the decoded
+# uint8 intermediate is ~0.1 ms. Every loader path re-reads the same images
+# each epoch/run (the reference re-decodes with PIL every epoch,
+# /root/reference/data/dicom_id.py:78-95), so an opt-in on-disk cache of each
+# transform's own DETERMINISTIC uint8 prefix (resize for train, resize+crop for
+# eval) makes warm epochs host-feasible even on a single core. The cache stores
+# the exact intermediate the transform itself computed, so cached and uncached
+# outputs are byte-identical per path (the PIL-exact eval path stays
+# PIL-exact). Keyed by absolute path + source (mtime_ns, size) + target size +
+# variant, so source changes invalidate automatically; writes are
+# tmp+rename-atomic for concurrent loader pools. ~150-180 KB/image (u8, gray
+# sources stay single-channel) vs ~1.5 MB source JPEGs.
 
 
-def make_fast_eval_loader_transform(size: int = 384, normalize: bool = False):
+def _cache_file(cache_dir: str, path: str, size: int, variant: str) -> str:
+    st = os.stat(path)
+    key = hashlib.sha1(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}|{size}|{variant}".encode()
+    ).hexdigest()
+    return os.path.join(cache_dir, key[:2], key + ".npy")
+
+
+def _cache_get(cache_file: str) -> Optional[np.ndarray]:
+    try:
+        return np.load(cache_file)
+    except Exception:  # noqa: BLE001 - miss/corrupt/partial → recompute
+        return None
+
+
+def _cache_put(cache_file: str, arr: np.ndarray) -> None:
+    try:
+        os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+        tmp = f"{cache_file}.tmp.{os.getpid()}.{id(arr)}"
+        with open(tmp, "wb") as f:  # np.save(str) would append its own .npy
+            np.save(f, arr)
+        os.replace(tmp, cache_file)
+    except OSError:  # cache dir unwritable/full: keep serving uncached
+        pass
+
+
+def make_eval_loader_transform(size: int = 384, cache_dir: Optional[str] = None):
+    """PIL-exact eval loader: output parity with the reference requires
+    bit-identical decode + resize (single.py:248-262). ``cache_dir`` caches the
+    cropped uint8 intermediate (the exact pipeline's own output, so cached runs
+    stay bit-identical) — see the decoded-image cache note above."""
+
+    def load(path: str) -> np.ndarray:
+        if cache_dir is None:
+            return eval_transform(load_image(path), size)
+        cf = _cache_file(cache_dir, path, size, "eval")
+        arr = _cache_get(cf)
+        if arr is None:
+            arr = eval_transform_u8(load_image(path), size)
+            _cache_put(cf, arr)
+        return normalize_chw(arr)
+
+    return load
+
+
+def make_fast_eval_loader_transform(size: int = 384, normalize: bool = False,
+                                    cache_dir: Optional[str] = None):
     """Throughput-serving loader — NOT PIL-bit-exact (the golden-CSV parity path
     keeps ``make_eval_loader_transform``): one fused native call does the
     DCT-scaled grayscale decode + bilinear resize (data/native
@@ -133,7 +206,7 @@ def make_fast_eval_loader_transform(size: int = 384, normalize: bool = False):
     size] like the exact loader (CPU fallback paths). Falls back to the PIL
     pipeline (grayscale) when the native decode is unavailable."""
 
-    def load(path: str):
+    def decode(path: str) -> np.ndarray:
         from cxrmate_tpu.data import native as native_mod
 
         arr = native_mod.load_jpeg_resized(path, size, gray=True, fast_dct=True)
@@ -143,7 +216,17 @@ def make_fast_eval_loader_transform(size: int = 384, normalize: bool = False):
         if arr.ndim == 3:  # colour source fell through the RGB path
             # ITU-R 601 luma like PIL convert("L")
             arr = (arr @ np.array([0.299, 0.587, 0.114], np.float32)).astype(np.uint8)
-        arr = center_crop(arr[:, :, None], size)[:, :, 0]
+        return center_crop(arr[:, :, None], size)[:, :, 0]
+
+    def load(path: str):
+        if cache_dir is None:
+            arr = decode(path)
+        else:
+            cf = _cache_file(cache_dir, path, size, "fast")
+            arr = _cache_get(cf)
+            if arr is None:
+                arr = decode(path)
+                _cache_put(cf, arr)
         if not normalize:
             return arr
         x = np.repeat(arr[None, :, :], 3, axis=0).astype(np.float32) / 255.0
@@ -152,7 +235,8 @@ def make_fast_eval_loader_transform(size: int = 384, normalize: bool = False):
     return load
 
 
-def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: bool = True):
+def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: bool = True,
+                                cache_dir: Optional[str] = None):
     """Training loader: native libjpeg decode at a DCT-domain scale chosen so the
     shortest edge stays ≥ ``size`` (data/native/ — byte-identical to PIL at full
     scale, low-passed-but-bounded at 1/2..1/8, tolerance-tested), falling back to
@@ -167,7 +251,7 @@ def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: b
 
     state = {"epoch": 0}
 
-    def load(path: str) -> np.ndarray:
+    def decode_resized_rgb(path: str) -> np.ndarray:
         img = None
         if native_decode:
             from cxrmate_tpu.data import native as native_mod
@@ -177,10 +261,32 @@ def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: b
                 img = Image.fromarray(arr)
         if img is None:
             img = load_image(path)
+        img = resize_shortest_edge(img, size)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        return np.asarray(img)
+
+    def load(path: str) -> np.ndarray:
         rng = random.Random(
             (seed * 1_000_003 + state["epoch"]) * 4_294_967_291 + zlib.crc32(path.encode())
         )
-        return train_transform(img, size, rng)
+        if cache_dir is None:
+            return train_augment(decode_resized_rgb(path), size, rng)
+        # cache key must NOT include the epoch: augmentation draws happen after
+        # the cached deterministic prefix (resize), per-epoch like torchvision
+        cf = _cache_file(cache_dir, path, size, "train")
+        arr = _cache_get(cf)
+        if arr is None:
+            arr = decode_resized_rgb(path)
+            # replicated-gray sources (all MIMIC JPEGs) store one channel (3x
+            # less cache disk/read traffic); re-replicated on load
+            if (arr[:, :, 0] == arr[:, :, 1]).all() and (arr[:, :, 0] == arr[:, :, 2]).all():
+                _cache_put(cf, arr[:, :, 0])
+            else:
+                _cache_put(cf, arr)
+        elif arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        return train_augment(arr, size, rng)
 
     load.set_epoch = lambda e: state.__setitem__("epoch", int(e))
     return load

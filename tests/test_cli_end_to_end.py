@@ -1051,3 +1051,55 @@ def test_eval_decode_packing_token_identical(packing_dataset, variant):
     packed = _ptask(f"exp_pack_on_{variant}", 6)
     run_test_stage(packed)
     pd.testing.assert_frame_equal(ids_csv(unpacked), ids_csv(packed))
+
+
+def test_make_datasets_image_cache_dir_threading(synthetic_dataset, tmp_path):
+    """The `image_cache_dir` task knob reaches both CLI loaders (train + eval,
+    cli/stages.py:make_datasets) and is output-inert: cached datasets yield
+    arrays byte-identical to uncached ones, and the cache actually populates."""
+    from cxrmate_tpu.cli.stages import make_datasets
+
+    root = synthetic_dataset
+    cdir = tmp_path / "img_cache"
+    plain_task = _task(root, "multi")
+    cached_task = _task(root, "multi", image_cache_dir=str(cdir))
+
+    for split, train in (("train", True), ("test", False)):
+        plain = make_datasets(plain_task, split, train=train)
+        cached = make_datasets(cached_task, split, train=train)
+        for i in range(len(plain.examples)):
+            a, b = plain[i], cached[i]  # first cached read is the populating miss
+            np.testing.assert_array_equal(a["images"], b["images"])
+            np.testing.assert_array_equal(b["images"], cached[i]["images"])  # hit
+    assert glob.glob(os.path.join(str(cdir), "*", "*.npy")), "cache never populated"
+
+
+def test_warm_cache_script(synthetic_dataset, tmp_path):
+    """scripts/warm_cache.py pre-populates the decoded-image cache with the
+    same split→transform mapping as make_datasets, so a subsequent cached
+    dataset read is a pure hit (byte-identical to uncached)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "warm_cache", os.path.join(os.path.dirname(__file__), "..", "scripts", "warm_cache.py"))
+    warm_cache = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(warm_cache)
+
+    from cxrmate_tpu.cli.stages import make_datasets
+
+    root = synthetic_dataset
+    cdir = tmp_path / "warmed"
+    rc = warm_cache.main([
+        "--dataset_dir", str(root / "datasets"), "--cache_dir", str(cdir),
+        "--image_size", "32", "--workers", "2",
+    ])
+    assert rc == 0
+    n_entries = len(glob.glob(os.path.join(str(cdir), "*", "*.npy")))
+    assert n_entries > 0
+    plain = make_datasets(_task(root, "multi"), "test", train=False)
+    cached = make_datasets(
+        _task(root, "multi", image_cache_dir=str(cdir)), "test", train=False)
+    for i in range(len(plain.examples)):
+        np.testing.assert_array_equal(plain[i]["images"], cached[i]["images"])
+    # the reads above were hits: no new entries were created
+    assert len(glob.glob(os.path.join(str(cdir), "*", "*.npy"))) == n_entries

@@ -17,6 +17,8 @@ transform COMPOSITION with torchvision's documented parameter semantics:
   * ToTensor + Normalize(ImageNet mean/std).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -244,3 +246,91 @@ def test_eval_center_crop_rounding():
     out = image_mod.center_crop(arr, 64)
     top = int(round((67 - 64) / 2.0))
     np.testing.assert_array_equal(out, arr[top : top + 64, top : top + 64])
+
+
+# ------------------------------------------------------------ decoded-image cache
+def test_decoded_cache_is_byte_identical_per_path(tmp_path):
+    """Cached and uncached loader outputs are byte-identical for all three
+    paths (the cache stores each transform's own deterministic uint8 prefix —
+    data/image.py 'decoded-image cache'), and a hit never re-reads the JPEG."""
+    arr = _smooth_image(500, 700)
+    jpath = tmp_path / "a.jpg"
+    jpath.write_bytes(_jpeg_bytes(arr, "L"))
+    cdir = str(tmp_path / "cache")
+
+    for make, kwargs in (
+        (image_mod.make_eval_loader_transform, {}),
+        (image_mod.make_fast_eval_loader_transform, {}),
+        (image_mod.make_fast_eval_loader_transform, {"normalize": True}),
+        (image_mod.make_train_loader_transform, {"seed": 3}),
+    ):
+        cold = make(size=96, **kwargs)(str(jpath))
+        cached = make(size=96, cache_dir=cdir, **kwargs)
+        first = cached(str(jpath))   # populates
+        np.testing.assert_array_equal(first, cold)
+        # corrupt the source: a hit must serve from cache without decoding
+        data = jpath.read_bytes()
+        st = jpath.stat()
+        jpath.write_bytes(b"not a jpeg")
+        os.utime(jpath, ns=(st.st_atime_ns, st.st_mtime_ns))  # keep the key
+        # (size changed → key changed for real invalidation; restore size too)
+        jpath.write_bytes(data[: len(b"not a jpeg")] + b"\0" * (len(data) - 10))
+        os.utime(jpath, ns=(st.st_atime_ns, st.st_mtime_ns))
+        warm = cached(str(jpath))
+        np.testing.assert_array_equal(warm, cold)
+        jpath.write_bytes(data)
+        os.utime(jpath, ns=(st.st_atime_ns, st.st_mtime_ns))
+
+
+def test_decoded_cache_invalidates_on_source_change(tmp_path):
+    """Rewriting the source (different mtime/size) must invalidate the entry."""
+    a = _smooth_image(300, 400)
+    b = np.ascontiguousarray(a[::-1])  # different content
+    jpath = tmp_path / "x.jpg"
+    cdir = str(tmp_path / "cache")
+    load = image_mod.make_fast_eval_loader_transform(size=96, cache_dir=cdir)
+
+    jpath.write_bytes(_jpeg_bytes(a, "L"))
+    out_a = load(str(jpath))
+    jpath.write_bytes(_jpeg_bytes(b, "L"))
+    os.utime(jpath, ns=(0, 12345))  # force a distinct mtime_ns
+    out_b = load(str(jpath))
+    fresh = image_mod.make_fast_eval_loader_transform(size=96)(str(jpath))
+    np.testing.assert_array_equal(out_b, fresh)
+    assert not np.array_equal(out_a, out_b)
+
+
+def test_decoded_cache_train_epoch_variation(tmp_path):
+    """Augmentation draws stay per-epoch (and deterministic) over a cache hit:
+    the cache key excludes the epoch, augmentation happens after the load."""
+    arr = _smooth_image(300, 400)
+    jpath = tmp_path / "t.jpg"
+    jpath.write_bytes(_jpeg_bytes(arr, "L"))
+    cdir = str(tmp_path / "cache")
+
+    plain = image_mod.make_train_loader_transform(size=96, seed=7)
+    cached = image_mod.make_train_loader_transform(size=96, seed=7, cache_dir=cdir)
+    cached(str(jpath))  # populate epoch-0 entry
+    for epoch in (0, 1, 2):
+        plain.set_epoch(epoch)
+        cached.set_epoch(epoch)
+        np.testing.assert_array_equal(cached(str(jpath)), plain(str(jpath)))
+    plain.set_epoch(0)
+    cached.set_epoch(1)
+    assert not np.array_equal(cached(str(jpath)), plain(str(jpath)))
+
+
+def test_decoded_cache_rgb_source_roundtrip(tmp_path):
+    """A genuinely-colour source must NOT be stored as replicated gray."""
+    rgb = np.stack([
+        _smooth_image(300, 400),
+        np.roll(_smooth_image(300, 400), 7, 1),
+        np.roll(_smooth_image(300, 400), 13, 0),
+    ], axis=-1)
+    jpath = tmp_path / "c.jpg"
+    jpath.write_bytes(_jpeg_bytes(rgb, "RGB"))
+    cdir = str(tmp_path / "cache")
+    plain = image_mod.make_train_loader_transform(size=96, seed=1)
+    cached = image_mod.make_train_loader_transform(size=96, seed=1, cache_dir=cdir)
+    np.testing.assert_array_equal(cached(str(jpath)), plain(str(jpath)))  # miss
+    np.testing.assert_array_equal(cached(str(jpath)), plain(str(jpath)))  # hit
