@@ -416,7 +416,7 @@ def make_u8_pipeline(config, decode_tokens):
     import jax
     import jax.numpy as jnp
 
-    from cxrmate_tpu.data.image import IMAGENET_MEAN, IMAGENET_STD
+    from cxrmate_tpu.data.image import device_normalize_gray_u8
     from cxrmate_tpu.generate import GenerationConfig, generate
     from cxrmate_tpu.models import encoder_decoder as ed
 
@@ -425,16 +425,10 @@ def make_u8_pipeline(config, decode_tokens):
         bos_token_id=1, eos_token_id=2, pad_token_id=4, special_token_ids=(3,),
     )
     cache_segments = os.environ.get("CXRMATE_CACHE_SEGMENTS", "4:32")
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)[:, None, None]
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)[:, None, None]
 
     @jax.jit
     def pipeline(variables, pixels_u8):
-        x = pixels_u8[:, :, None, :, :].astype(jnp.float32) / 255.0  # [B,N,1,S,S]
-        x = ((x - mean) / std).astype(jnp.bfloat16)
-        pixels = jnp.broadcast_to(
-            x, x.shape[:2] + (3,) + x.shape[3:]
-        )  # gray → RGB replication, like PIL convert("RGB")
+        pixels = device_normalize_gray_u8(pixels_u8)  # [B,N,S,S] u8 → [B,N,3,S,S]
         enc_hidden, enc_mask, _ = ed.encode_images(variables, pixels, config)
         prompt = jnp.full((pixels.shape[0], 1), gen_cfg.bos_token_id, jnp.int32)
         seqs = generate(

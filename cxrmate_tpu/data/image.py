@@ -186,8 +186,19 @@ def make_eval_loader_transform(size: int = 384, cache_dir: Optional[str] = None)
         cf = _cache_file(cache_dir, path, size, "eval")
         arr = _cache_get(cf)
         if arr is None:
-            arr = eval_transform_u8(load_image(path), size)
+            a = np.asarray(resize_shortest_edge(load_image(path), size))
+            # replicated-gray sources (all MIMIC JPEGs; load_image's
+            # convert("RGB") replicates the single channel, and PIL resizes
+            # channels independently so they stay replicated) store ONE channel
+            # — 3× less cache disk/read traffic. stack-then-crop equals
+            # crop-then-stack, so this stays byte-identical to eval_transform.
+            if (a[:, :, 0] == a[:, :, 1]).all() and (a[:, :, 0] == a[:, :, 2]).all():
+                arr = center_crop(a[:, :, :1], size)[:, :, 0]
+            else:
+                arr = center_crop(a, size)
             _cache_put(cf, arr)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
         return normalize_chw(arr)
 
     return load
@@ -218,11 +229,21 @@ def make_fast_eval_loader_transform(size: int = 384, normalize: bool = False,
             arr = (arr @ np.array([0.299, 0.587, 0.114], np.float32)).astype(np.uint8)
         return center_crop(arr[:, :, None], size)[:, :, 0]
 
+    # the cache key carries the decode backend: the fused native decode is NOT
+    # byte-identical to its PIL fallback, so entries written by one backend
+    # must never be served to the other (e.g. a cache warmed on a host with the
+    # toolchain, then read on one without)
+    variant = None
+    if cache_dir is not None:
+        from cxrmate_tpu.data import native as native_mod
+
+        variant = "fast-native" if native_mod.available() else "fast-pil"
+
     def load(path: str):
         if cache_dir is None:
             arr = decode(path)
         else:
-            cf = _cache_file(cache_dir, path, size, "fast")
+            cf = _cache_file(cache_dir, path, size, variant)
             arr = _cache_get(cf)
             if arr is None:
                 arr = decode(path)
@@ -250,6 +271,15 @@ def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: b
     import zlib
 
     state = {"epoch": 0}
+    # like the fast loader: the native DCT-scaled decode (denom > 1) is
+    # low-passed vs PIL's full decode, so the cache key carries the effective
+    # backend — entries from one backend are never served to the other
+    variant = None
+    if cache_dir is not None:
+        from cxrmate_tpu.data import native as native_mod
+
+        use_native = native_decode and native_mod.available()
+        variant = "train-native" if use_native else "train-pil"
 
     def decode_resized_rgb(path: str) -> np.ndarray:
         img = None
@@ -274,7 +304,7 @@ def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: b
             return train_augment(decode_resized_rgb(path), size, rng)
         # cache key must NOT include the epoch: augmentation draws happen after
         # the cached deterministic prefix (resize), per-epoch like torchvision
-        cf = _cache_file(cache_dir, path, size, "train")
+        cf = _cache_file(cache_dir, path, size, variant)
         arr = _cache_get(cf)
         if arr is None:
             arr = decode_resized_rgb(path)
@@ -293,6 +323,21 @@ def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: b
 
 
 # ------------------------------------------------------------- device-side path
+def device_normalize_gray_u8(pixels_u8):
+    """Device-side tail of the u8 serving loader
+    (``make_fast_eval_loader_transform``): grayscale uint8 [..., H, W] →
+    ImageNet-normalized bfloat16 [..., 3, H, W] (gray→RGB replication like PIL
+    convert("RGB")). Shipping uint8 gray and normalizing on-device is 12× less
+    host→device traffic than normalized float32 RGB, and XLA fuses the
+    arithmetic into the encoder's first conv. Call inside jit."""
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)[:, None, None]
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)[:, None, None]
+    x = pixels_u8[..., None, :, :].astype(jnp.float32) / 255.0
+    return ((x - mean) / std).astype(jnp.bfloat16)  # mean [3,1,1] broadcasts to 3ch
+
+
 def device_preprocess(batch_u8, size: int = 384):
     """[B, H, W, 3] uint8 on device → [B, 3, size, size] normalized float32.
 

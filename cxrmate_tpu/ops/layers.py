@@ -158,10 +158,17 @@ def _packed_dropout_mask(rng: jax.Array, keep: float, shape, nbits: int) -> jnp.
 
 
 def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Inverted dropout. The CXRMATE_DROPOUT_BITS / CXRMATE_DROPOUT_MATERIALIZE
+    env knobs are resolved at TRACE time: they take effect when a train step is
+    (re)built (``make_train_step`` wraps each factory call in a fresh
+    ``jax.jit``), not when an already-compiled step is re-invoked — flip them
+    between processes or rebuild the step, never mid-step-object A/Bs."""
     if rate == 0.0 or rng is None:
         return x
     keep = 1.0 - rate
     nbits = int(os.environ.get("CXRMATE_DROPOUT_BITS", "32"))
+    if nbits not in (8, 16, 32):
+        raise ValueError(f"CXRMATE_DROPOUT_BITS must be 8, 16 or 32, got {nbits}")
     if nbits in (8, 16):
         # OPT-IN experiment (measured a dead end — default stays 32):
         # packed-bits Bernoulli, same keep probability to within 2⁻ⁿ, 32/n×

@@ -50,6 +50,7 @@ def main(argv=None) -> int:
         args.dataset_dir, "physionet.org", "files", "mimic-cxr-jpg", "2.0.0", "files"
     )
     total = 0
+    failed = False
     for split in args.splits.split(","):
         sub = df.loc[df["split"] == split]
         if sub.empty:
@@ -77,10 +78,11 @@ def main(argv=None) -> int:
               f"{args.workers} workers){f', {n_err} FAILED' if n_err else ''}",
               file=sys.stderr)
         total += len(paths)
-        if n_err:
-            return 1
+        # a few corrupt images must not leave the REMAINING splits unwarmed:
+        # keep going, signal failure in the exit code at the end
+        failed = failed or bool(n_err)
     print(f"warmed {total} cache entries under {args.cache_dir}", file=sys.stderr)
-    return 0
+    return 1 if failed else 0
 
 
 def _safe(load):
