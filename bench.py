@@ -100,7 +100,7 @@ def make_pipeline(config, variables, batch, decode_tokens, decode_kernel=None):
     return pipeline
 
 
-def make_beam_pipeline(config, decode_tokens, num_beams=NUM_BEAMS):
+def make_beam_pipeline(config, decode_tokens, num_beams=NUM_BEAMS, decode_kernel=None):
     import jax
     import jax.numpy as jnp
 
@@ -125,6 +125,7 @@ def make_beam_pipeline(config, decode_tokens, num_beams=NUM_BEAMS):
         seqs, _ = beam_search(
             variables, config, gen_cfg, enc_hidden, enc_mask, prompt, jnp.ones_like(prompt),
             write_mode=write_mode, cache_segments=cache_segments,
+            decode_kernel=decode_kernel,
         )
         return seqs
 
@@ -132,7 +133,7 @@ def make_beam_pipeline(config, decode_tokens, num_beams=NUM_BEAMS):
 
 
 def make_longitudinal_beam_pipeline(config, decode_tokens, prompt_width,
-                                    num_beams=NUM_BEAMS):
+                                    num_beams=NUM_BEAMS, decode_kernel=None):
     """The FLAGSHIP decode configuration (the released ``aehrc/cxrmate``
     checkpoint's test path): longitudinal variant — LoRA q/k decoder, prompt
     prefill of the previous study's report ([PMT]-section token types, mask-token
@@ -164,7 +165,7 @@ def make_longitudinal_beam_pipeline(config, decode_tokens, prompt_width,
         seqs, _ = beam_search(
             variables, config, gen_cfg, enc_hidden, enc_mask, prompt_ids, prompt_mask,
             prompt_logits_col=prompt_width - 1, write_mode=write_mode,
-            cache_segments=cache_segments,
+            cache_segments=cache_segments, decode_kernel=decode_kernel,
         )
         return seqs
 
@@ -199,9 +200,10 @@ def run(platform=None, batch=BATCH, decode_tokens=DECODE_TOKENS, iters=3, dtype=
              rs.randint(6, 30000, size=(batch, w - 1)).astype(np.int32)], axis=1
         )
         prompt_args = (jnp.asarray(ids), jnp.ones((batch, w), jnp.int32))
-        pipeline = make_longitudinal_beam_pipeline(config, decode_tokens, w)
+        pipeline = make_longitudinal_beam_pipeline(config, decode_tokens, w,
+                                                   decode_kernel=decode_kernel)
     elif beam:
-        pipeline = make_beam_pipeline(config, decode_tokens)
+        pipeline = make_beam_pipeline(config, decode_tokens, decode_kernel=decode_kernel)
     else:
         pipeline = make_pipeline(config, variables, batch, decode_tokens,
                                  decode_kernel=decode_kernel)
@@ -588,8 +590,13 @@ def main():
     # opt-in fast serving decode (VERDICT r3 item 3): the cross-rowgroup Pallas
     # kernel on the cross-KV stream — NOT bit-exact (MXU f32 accumulation; see
     # ops/decode_attention.py:resolve_decode_kernel), flagged as such in the JSON
-    greedy_fast_sps = None
-    if os.environ.get("CXRMATE_BENCH_SKIP_FAST", "0") != "1":
+    greedy_fast_sps = greedy_q8_sps = None
+    if os.environ.get("CXRMATE_BENCH_FUSED", "0") == "1":
+        # the fused decode path has no attention routing, so these sections
+        # would re-measure the fused EXACT path mislabeled as kernel numbers
+        print("fused decode mode: skipping greedy-fast/q8 kernel sections "
+              "(decode_kernel is ignored on the fused path)", file=sys.stderr)
+    elif os.environ.get("CXRMATE_BENCH_SKIP_FAST", "0") != "1":
         try:
             greedy_fast_sps, fast_dt = run(decode_kernel="cross-rowgroup:4")
             print(
@@ -601,6 +608,20 @@ def main():
         except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
             print(f"greedy-fast bench failed: {e}", file=sys.stderr)
             errors.append(f"greedy_fast: {type(e).__name__}: {e}")
+        # int8-quantised cross-KV serving decode (round 4): ~53% of the bf16
+        # cross stream's HBM bytes → +54% over the exact path in the round-4
+        # A/B (scripts/ab_q8_kernel.py). QUANTISED numerics — serving-only.
+        try:
+            greedy_q8_sps, q8_dt = run(decode_kernel="cross-rowgroup-q8:4")
+            print(
+                f"greedy q8 (cross-rowgroup-q8:4, int8 cross-KV, quantised): "
+                f"batch={BATCH}; batch latency {q8_dt * 1e3:.1f} ms "
+                f"({q8_dt / BATCH * 1e3:.2f} ms/study)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
+            print(f"greedy-q8 bench failed: {e}", file=sys.stderr)
+            errors.append(f"greedy_q8: {type(e).__name__}: {e}")
     train_ms = train_sps = None
     train_sweep = {}
     train_mfu = None
@@ -727,6 +748,15 @@ def main():
                     "CXRMATE_DECODE_KERNEL=cross-rowgroup:4 — NOT bit-exact "
                     "(MXU f32 accumulation; parity paths keep the exact XLA decode)"
                     if greedy_fast_sps is not None else None
+                ),
+                "greedy_q8_studies_per_sec": (
+                    round(greedy_q8_sps, 3) if greedy_q8_sps is not None else None
+                ),
+                "greedy_q8_note": (
+                    "CXRMATE_DECODE_KERNEL=cross-rowgroup-q8:4 — int8-quantised "
+                    "cross-KV (QUANTISED numerics, ~0.9% ctx RMS noise; serving "
+                    "opt-in, parity paths keep the exact XLA decode)"
+                    if greedy_q8_sps is not None else None
                 ),
                 "scst_step_ms": round(scst_ms, 1) if scst_ms is not None else None,
                 "scst_studies_per_sec": (

@@ -178,6 +178,10 @@ def _beam_search(
         cross_k=cache.cross_k,
         cross_v=cache.cross_v,
     )
+    # int8 serving decode (see decode._generate): quantise the loop-invariant
+    # B-shaped cross cache once (shared across a study's beams like the bf16
+    # cache); the while bodies close over the q8 tensors
+    cache, cross_q8 = bert_mod.maybe_quantize_cross_cache(cache, decode_kernel)
     enc_mask_flat = encoder_mask
 
     # ---- state ----
@@ -360,14 +364,14 @@ def _beam_search(
             logits, cache = bert_mod.bert_step(
                 params, dcfg, cache, q_tok, ttype, pos, i, key_mask[:, :t_cap],
                 enc_mask_flat, lora=config.lora, deferred_write=False,
-                decode_kernel=decode_kernel,
+                decode_kernel=decode_kernel, cross_q8=cross_q8,
             )
             pending = None
         else:
             logits, pending = bert_mod.bert_step(
                 params, dcfg, cache, q_tok, ttype, pos, i, key_mask[:, :t_cap],
                 enc_mask_flat, lora=config.lora, deferred_write=True,
-                decode_kernel=decode_kernel,
+                decode_kernel=decode_kernel, cross_q8=cross_q8,
             )
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         new_state, all_hit = select_and_update(

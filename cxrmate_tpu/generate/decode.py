@@ -292,6 +292,13 @@ def _generate(
             params, dcfg, cache, prompt_ids, attn_prompt, prompt_types, prompt_pos,
             encoder_hidden, encoder_mask, lora=config.lora,
         )
+    # int8 serving decode: quantise the loop-invariant cross cache ONCE here;
+    # the while bodies close over the q8 tensors (not carried) and the cache's
+    # cross entries become zero-width placeholders (bert.quantize_cross_cache)
+    if use_fused and config.lora is None:
+        cross_q8 = None  # the fused path ignores decode_kernel (warns)
+    else:
+        cache, cross_q8 = bert_mod.maybe_quantize_cross_cache(cache, decode_kernel)
 
     seq = jnp.concatenate(
         [prompt_ids, jnp.full((b, max_new), gen_cfg.pad_token_id, dtype=prompt_ids.dtype)], axis=1
@@ -364,7 +371,7 @@ def _generate(
             params, dcfg, s["cache"], q_tok, ttype, pos, i,
             s["key_mask"][:, :t_cap], encoder_mask,
             lora=config.lora, use_fused=use_fused, fused_prepared=fused_prepared,
-            decode_kernel=decode_kernel,
+            decode_kernel=decode_kernel, cross_q8=cross_q8,
         )
         rng_step, rng_next = jax.random.split(s["rng"])
         tok, step_scores = select_token(logits, rng_step)
@@ -507,6 +514,9 @@ def _scst_rollout_decode(
             params, dcfg, cache, prompt2, attn2, ptypes2, pos2, enc2, encm2,
             lora=config.lora,
         )
+    # int8 serving decode (see _generate): quantise the loop-invariant cross
+    # cache once; the while bodies close over the q8 tensors
+    cache, cross_q8 = bert_mod.maybe_quantize_cross_cache(cache, decode_kernel)
 
     seq = jnp.concatenate(
         [prompt2, jnp.full((rows, max_new), cfg_sample.pad_token_id, prompt2.dtype)], axis=1
@@ -572,7 +582,7 @@ def _scst_rollout_decode(
         logits, cache = bert_mod.bert_step(
             params, dcfg, s["cache"], q_tok, ttype, pos, i,
             s["key_mask"][:, :t_cap], encm2, lora=config.lora,
-            decode_kernel=decode_kernel,
+            decode_kernel=decode_kernel, cross_q8=cross_q8,
         )
         rng_step, rng_next = jax.random.split(s["rng"])
         tok = select_token(logits, rng_step)

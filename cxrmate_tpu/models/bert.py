@@ -301,6 +301,46 @@ def init_cache(
     )
 
 
+def quantize_cross_cache(cache: DecodeCache):
+    """Int8-quantise the (prefill-computed, loop-invariant) cross-KV cache for
+    the ``cross-rowgroup-q8`` serving decode.
+
+    Returns ``(cache', cross_q8)`` where ``cross_q8`` is a per-layer tuple of
+    ``(kq int8, kscale f32 [B,H,1,S], vq int8, vscale f32)`` (see
+    ``ops.decode_attention.quantize_kv_rowwise``) and ``cache'`` carries
+    ZERO-WIDTH cross tensors ([B, H, 0, Dh] — batch dim and dtype preserved
+    for the places that read them). The decode while-loop bodies close over
+    ``cross_q8`` as loop-invariant constants instead of carrying ~2× the bytes
+    (bf16 + int8) through the carry; ``bert_step`` requires ``cross_q8`` when
+    the resolved spec is ``cross-rowgroup-q8``. Serving-only numerics — the
+    parity/golden-CSV paths keep the exact bf16 cache."""
+    from cxrmate_tpu.ops.decode_attention import quantize_kv_rowwise
+
+    cross_q8 = tuple(
+        quantize_kv_rowwise(ck) + quantize_kv_rowwise(cv)
+        for ck, cv in zip(cache.cross_k, cache.cross_v)
+    )
+    return (
+        DecodeCache(
+            self_k=cache.self_k,
+            self_v=cache.self_v,
+            cross_k=tuple(x[:, :, :0, :] for x in cache.cross_k),
+            cross_v=tuple(x[:, :, :0, :] for x in cache.cross_v),
+        ),
+        cross_q8,
+    )
+
+
+def maybe_quantize_cross_cache(cache: DecodeCache, decode_kernel):
+    """``quantize_cross_cache`` iff the resolved ``decode_kernel`` spec is
+    ``cross-rowgroup-q8[:G]``; otherwise ``(cache, None)``. The single home of
+    the q8-spec check for the three decode loops (greedy / beam / SCST
+    rollout) — ``bert_step`` re-validates the pairing at trace time."""
+    if decode_kernel and decode_kernel.startswith("cross-rowgroup-q8"):
+        return quantize_cross_cache(cache)
+    return cache, None
+
+
 def bert_prefill(
     params,
     config: BertDecoderConfig,
@@ -371,6 +411,7 @@ def bert_step(
     fused_prepared: Optional[list] = None,
     deferred_write: bool = False,
     decode_kernel: Optional[str] = None,
+    cross_q8: Optional[tuple] = None,
 ) -> Tuple[jnp.ndarray, DecodeCache]:
     """One decode step: token at dynamic position ``index``.
 
@@ -397,6 +438,12 @@ def bert_step(
         ``None`` reads ``CXRMATE_DECODE_KERNEL`` at TRACE time — the public
         decode loops resolve it at call time and pass it through as a static
         jit arg so env changes between calls take effect.
+      cross_q8: per-layer ``(kq, kscale, vq, vscale)`` tuples from
+        ``quantize_cross_cache`` — REQUIRED (and only meaningful) when the
+        resolved spec is ``cross-rowgroup-q8[:G]``; the cache's own cross
+        tensors are then zero-width placeholders and cross-attention runs the
+        int8 Pallas kernel. Loop-invariant: callers close their while bodies
+        over it instead of carrying it.
     Returns (logits [B, V], updated cache) — or (logits, new-kv tuples) when
     ``deferred_write`` is set.
     """
@@ -409,6 +456,8 @@ def bert_step(
         decode_attention,
         decode_attention_rowgrid,
         decode_attention_rowgroup,
+        decode_attention_rowgroup_q8,
+        parse_group,
         resolve_decode_kernel,
     )
 
@@ -440,6 +489,14 @@ def bert_step(
         return logits[:, 0, :], DecodeCache(
             tuple(self_k), tuple(self_v), cache.cross_k, cache.cross_v
         )
+    is_q8 = decode_kernel.startswith("cross-rowgroup-q8")
+    if is_q8 != (cross_q8 is not None):
+        raise ValueError(
+            "cross-rowgroup-q8 requires the caller to pass quantize_cross_cache's "
+            "cross_q8 tuples (and cross_q8 is only valid with that spec); got "
+            f"decode_kernel={decode_kernel!r}, cross_q8={'set' if cross_q8 else 'None'}"
+        )
+    q8_group = parse_group(decode_kernel) if is_q8 else None
     self_mask2d = ((1.0 - key_mask.astype(jnp.float32)) * NEG)  # [B, T] additive
     cross_mask2d = ((1.0 - encoder_attention_mask.astype(jnp.float32)) * NEG)
     self_mask = self_mask2d[:, None, None, :]  # [B,1,1,T]
@@ -503,13 +560,13 @@ def bert_step(
         if spec.startswith("vpu-rowgroup"):  # "vpu-rowgroup" or "vpu-rowgroup:<G>"
             from cxrmate_tpu.ops.decode_attention import decode_attention_rowgroup_vpu
 
-            grp = int(spec.split(":", 1)[1]) if ":" in spec else 4
             return decode_attention_rowgroup_vpu(qh, kh, vh, mask2d, scale,
-                                                 group=grp, interpret=interpret)
+                                                 group=parse_group(spec),
+                                                 interpret=interpret)
         if spec.startswith("rowgroup"):  # "rowgroup" or "rowgroup:<G>"
-            grp = int(spec.split(":", 1)[1]) if ":" in spec else 4
             return decode_attention_rowgroup(qh, kh, vh, mask2d, scale,
-                                             group=grp, interpret=interpret)
+                                             group=parse_group(spec),
+                                             interpret=interpret)
         if spec:
             return decode_attention(qh, kh, vh, mask2d, scale, interpret=interpret)
         # the single shared XLA fallback (both the kernel-off default and the
@@ -517,6 +574,18 @@ def bert_step(
         if use_blockdiag and qh.shape[2] == 1:
             return attn_blockdiag(qh, kh, vh, mask2d)
         return attention(qh, kh, vh, scale, mask4d)
+
+    def cross_attn(cqh, i):
+        # the q8 path bypasses attn(): its operands are the int8 tensors +
+        # scales (the cache's own cross entries are zero-width placeholders)
+        if cross_q8 is not None:
+            kq, ks, vq, vs = cross_q8[i]
+            return decode_attention_rowgroup_q8(
+                cqh, kq, ks, vq, vs, cross_mask2d, scale,
+                group=q8_group, interpret=interpret,
+            )
+        return attn(cqh, cache.cross_k[i], cache.cross_v[i], cross_mask,
+                    cross_mask2d, is_cross=True)
 
     self_k, self_v = list(cache.self_k), list(cache.self_v)
     pend_k, pend_v = [], []
@@ -549,14 +618,10 @@ def bert_step(
         cp = layer["cross"]
         cq = linear(cp["q"], hidden)  # [B, 1, D]
         if beams == 1:
-            cctx = merge_heads(
-                attn(split_heads(cq, heads), cache.cross_k[i], cache.cross_v[i],
-                     cross_mask, cross_mask2d, is_cross=True)
-            )
+            cctx = merge_heads(cross_attn(split_heads(cq, heads), i))
         else:
             cqh = cq.reshape(groups, beams, heads, config.head_dim).transpose(0, 2, 1, 3)
-            gctx = attn(cqh, cache.cross_k[i], cache.cross_v[i], cross_mask, cross_mask2d,
-                        is_cross=True)
+            gctx = cross_attn(cqh, i)
             cctx = gctx.transpose(0, 2, 1, 3).reshape(bsz, 1, heads * config.head_dim)
         hidden = layer_norm(cp["ln"], linear(cp["out"], cctx) + hidden, config.layer_norm_eps)
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import os
+import re
 
 import jax
 import jax.numpy as jnp
@@ -255,6 +256,118 @@ def decode_attention_rowgroup_vpu(
     )(q, k, v, additive_mask[:, :, None])
 
 
+def quantize_kv_rowwise(x: jnp.ndarray) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """Symmetric per-key-row int8 quantisation of a cached K or V tensor.
+
+    ``x`` [B, H, S, dh] → (``q`` int8 [B, H, S, dh], ``scales`` f32 [B, H, 1, S])
+    with ``q[b,h,s,:] = round(x[b,h,s,:] / scales[b,h,0,s])`` and
+    ``scales = max|row| / 127`` (1.0 for all-zero rows, e.g. padding).
+
+    The scales are laid out with S on the LANE axis ([B, H, 1, S]) because the
+    q8 decode kernel never dequantises the [S, dh] blocks: both scales fold
+    algebraically into the SMALL [M, S] tensors —
+    ``q · (kq·ks) == (q · kq) · ks`` (per-key scalar) and
+    ``probs · (vq·vs) == (probs·vs) · vq`` — so the only bulk in-kernel op on
+    the int8 data is the int8→bf16 convert (exact: |q| ≤ 127), in VMEM. XLA
+    could not do this (the round-2 int8 attempt materialised the dequantised
+    bf16 arrays in HBM each step, DEVNOTES); Pallas keeps the convert on-chip
+    and the HBM stream drops to the int8 bytes + scales ≈ 53% of bf16."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)  # [B, H, S]
+    scales = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scales[..., None]), -127, 127).astype(jnp.int8)
+    return q, scales[:, :, None, :]
+
+
+def _attn_kernel_rowgroup_q8(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref,
+                             o_ref, *, scale: float, heads: int, rows: int):
+    # one program per G-row group: q [G, H, M, dh] bf16; kq/vq [G, H, S, dh]
+    # int8; ks/vs [G, H, 1, S] f32 per-key scales; mask [G, 1, S] f32 additive
+    for g in range(rows):
+        mask = mask_ref[g]  # [1, S]
+        for h in range(heads):
+            q = q_ref[g, h]  # [M, dh]
+            kq = kq_ref[g, h].astype(q.dtype)  # int8 → bf16, exact (|q| ≤ 127)
+            scores = jax.lax.dot_general(
+                q, kq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [M, S] — integer-valued K rows
+            scores = scores * ks_ref[g, h]  # fold the K scales: (q·kq)·s == q·(kq·s)
+            scores = scores * scale + mask
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)  # [M, S] f32
+            pv = (probs * vs_ref[g, h]).astype(q.dtype)  # fold the V scales into probs
+            vq = vq_ref[g, h].astype(q.dtype)
+            ctx = jax.lax.dot_general(
+                pv, vq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [M, dh]
+            o_ref[g, h] = ctx.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "group", "interpret"))
+def decode_attention_rowgroup_q8(
+    q: jnp.ndarray,
+    kq: jnp.ndarray,
+    kscale: jnp.ndarray,
+    vq: jnp.ndarray,
+    vscale: jnp.ndarray,
+    additive_mask: jnp.ndarray,
+    scale: float,
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """:func:`decode_attention_rowgroup` over an int8-quantised K/V cache
+    (``quantize_kv_rowwise`` layout). Streams ~53% of the bf16 variant's HBM
+    bytes — the decode step is ~70% cross-KV streaming (DEVNOTES round 3
+    traces), so this is the serving lever past the bandwidth ceiling.
+    NOT exact: int8 quantisation error is ~0.4%/element on top of the MXU
+    rounding the bf16 rowgroup kernel already has — serving-only, opt-in
+    (``CXRMATE_DECODE_KERNEL=cross-rowgroup-q8[:G]``), never for parity paths.
+    VMEM at G=8 ≈ 30 MB (int8 halves the bf16 variant's blocks, so larger
+    groups fit than the bf16 kernel's G=4 practical cap)."""
+    b, h, m, dh = q.shape
+    s = kq.shape[2]
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = group if (group > 1 and b % group == 0) else 1
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_rowgroup_q8, scale=scale, heads=h, rows=g),
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, h, m, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, h, s, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, h, 1, s), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, h, s, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, h, 1, s), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, 1, s), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, h, m, dh), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, m, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, kq, kscale, vq, vscale, additive_mask[:, None, :])
+
+
+def parse_group(spec: str, default: int = 4) -> int:
+    """Group size G from any ``...rowgroup...[:G]`` kernel spec — the single
+    home of the ``:G`` grammar (``bert_step``'s routing and the q8 path both
+    call this; keep them pointed here so a changed default is one edit)."""
+    return int(spec.split(":", 1)[1]) if ":" in spec else default
+
+
+# the full routing grammar accepted by CXRMATE_DECODE_KERNEL (see
+# resolve_decode_kernel): bare kernels route ALL attention; the "cross-"
+# prefix routes only the cross-attention; q8 exists ONLY in cross- form
+# (the self cache is rewritten every step, so requantising it would cost
+# more than it saves)
+_KERNEL_SPEC_RE = re.compile(
+    r"^(?:1|rowgrid|(?:vpu-)?rowgroup(?::\d+)?"
+    r"|cross-(?:1|rowgrid|(?:vpu-)?rowgroup(?::\d+)?|rowgroup-q8(?::\d+)?))$"
+)
+
+
 def resolve_decode_kernel(spec: "str | None" = None) -> str:
     """Resolve the decode-attention kernel routing spec (trace-time static).
 
@@ -263,8 +376,12 @@ def resolve_decode_kernel(spec: "str | None" = None) -> str:
     ``rowgrid`` = per-row grid, ``rowgroup[:G]`` = one cell per G rows,
     ``vpu-rowgroup[:G]`` = the rowgroup blocking with VPU-only f32
     elementwise multiply+reduce math (the bit-exactness candidate — hardware
-    verdict in DEVNOTES round 4), and a ``cross-`` prefix to route ONLY the
-    cross-attention through the kernel.
+    verdict in DEVNOTES round 4), ``cross-rowgroup-q8[:G]`` = the rowgroup
+    kernel over an INT8-quantised cross-KV cache (scales folded into the
+    [M, S] tensors, ~53% of the bf16 HBM bytes; quantised numerics — serving
+    only), and a ``cross-`` prefix to route ONLY the cross-attention through
+    the kernel (q8 exists only in cross- form: the self cache is written
+    every step, so requantising it would cost more than it saves).
     The public decode entry points (``generate`` / ``beam_search`` /
     ``scst_rollout_decode``) resolve this at CALL time, outside jit, so the
     jit cache is keyed on the RESOLVED spec — changing the env between calls
@@ -286,10 +403,22 @@ def resolve_decode_kernel(spec: "str | None" = None) -> str:
     kernel only on the cross-attention (the ~70%-of-step encoder-KV stream,
     G·H·S·dh ≈ 14 MB blocks), Mosaic's streaming reads beat the ~370 GB/s XLA
     matvec emitters while XLA keeps the small self-attention fusions it wins.
-    The fastest-known serving config on this backend; opt-in for the exactness
-    reason above."""
+    **cross-rowgroup-q8:4 = 73.1 (+54%)**: the int8 cross cache streams ~53%
+    of the bf16 bytes (round-4 A/B, scripts/ab_q8_kernel.py) — the fastest
+    serving config on this backend, quantised numerics (serving-only). Both
+    opt-in for the exactness reasons above."""
     if spec is None:
         spec = os.environ.get("CXRMATE_DECODE_KERNEL", "")
-    if spec == "0":
+    if spec in ("", "0"):
         return ""
+    if not _KERNEL_SPEC_RE.match(spec):
+        # a near-miss typo must not silently run a DIFFERENT kernel (e.g.
+        # "rowgroup-q8:4" without the mandatory "cross-" prefix would
+        # previously route ALL attention through the slow bf16 rowgroup)
+        raise ValueError(
+            f"invalid CXRMATE_DECODE_KERNEL spec {spec!r}: expected one of "
+            "'', '0', '1', 'rowgrid', 'rowgroup[:G]', 'vpu-rowgroup[:G]' "
+            "(optionally 'cross-'-prefixed to route only the cross-attention) "
+            "or 'cross-rowgroup-q8[:G]' (q8 requires the 'cross-' prefix)"
+        )
     return spec

@@ -52,6 +52,7 @@ def test_bench_json_contract(monkeypatch, capsys):
                 "longitudinal_beam4_studies_per_sec",
                 "train_step_ms", "train_studies_per_sec", "train_mfu",
                 "greedy_fast_studies_per_sec", "greedy_fast_note",
+                "greedy_q8_studies_per_sec", "greedy_q8_note",
                 "scst_step_ms", "scst_studies_per_sec", "scst_b8_studies_per_sec",
                 "input_bound_studies_per_sec", "input_cached_studies_per_sec",
                 "loader_images_per_sec",
