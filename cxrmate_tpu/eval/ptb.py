@@ -28,10 +28,50 @@ _PUNCT = [
     (re.compile(r"([:,])$"), r" \1 "),
     (re.compile(r"\.\.\."), r" ... "),
     (re.compile(r"[;@#$%&]"), r" \g<0> "),
-    (re.compile(r'([^\.])(\.)([\]\)}>"\']*)\s*$'), r"\1 \2\3 "),
     (re.compile(r"[?!]"), r" \g<0> "),
     (re.compile(r"([^'])' "), r"\1 ' "),
 ]
+
+# Word-final periods that STAY attached (Stanford PTBLexer's abbreviation
+# handling): single initials ("j."), letter-period acronyms ("u.s.", "e.g.",
+# "i.e.", "a.m."), and a lexicon of common abbreviations. Everything else
+# ending in "." is split into word + "." wherever it occurs in the line — the
+# original PTB sed script only handled the LINE-final period because its input
+# was pre-split one sentence per line, but pycocoevalcap feeds the Stanford
+# jar one whole (multi-sentence) caption per line with -preserveLines, and the
+# jar splits every sentence-final period. Radiology reports are multi-sentence,
+# so without this rule every mid-report sentence end produced a "word." token
+# that could never match the reference battery's "word" (the split "." itself
+# is dropped by PUNCTUATIONS, like pycocoevalcap does).
+_ABBREV_KEEP = re.compile(
+    r"(?i)^(?:"
+    r"[a-z]\."  # single initial
+    r"|(?:[a-z]\.){2,}"  # acronym: u.s., e.g., i.e., a.m., p.m.
+    r"|(?:dr|drs|mr|mrs|ms|prof|rev|hon|sen|rep|gen|col|lt|sgt|capt|gov|"
+    r"jr|sr|st|mt|vs|etc|al|inc|ltd|co|corp|bros|no|nos|fig|figs|cf|ca|"
+    r"approx|dept|est|misc|min|max|vol|sec|jan|feb|mar|apr|jun|jul|aug|"
+    r"sept|sep|oct|nov|dec)\."
+    r")$"
+)
+
+
+_PERIOD_TRAIL = re.compile(r"^(.+)\.([\"']*)$")  # word. / word." / word.'
+
+
+def _split_sentence_periods(text: str) -> str:
+    out = []
+    for tok in text.split():
+        m = _PERIOD_TRAIL.match(tok)
+        # m.group(1).strip("."): don't re-split an ellipsis ("..." is already
+        # its own token here and PUNCTUATIONS drops it whole)
+        if m and m.group(1).strip(".") and not _ABBREV_KEEP.match(m.group(1) + "."):
+            out.append(m.group(1))
+            out.append(".")
+            if m.group(2):
+                out.append(m.group(2))
+        else:
+            out.append(tok)
+    return " ".join(out)
 _BRACKETS = [
     (re.compile(r"[\]\[\(\)\{\}<>]"), r" \g<0> "),
     (re.compile(r"\("), "-LRB-"),
@@ -70,6 +110,7 @@ def ptb_tokenize_line(text: str, lowercase: bool = True) -> List[str]:
         text = rx.sub(sub, text)
     for rx, sub in _BRACKETS:
         text = rx.sub(sub, text)
+    text = _split_sentence_periods(text)
     text = f" {text} "
     for rx, sub in _ENDQ:
         text = rx.sub(sub, text)

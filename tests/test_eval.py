@@ -107,6 +107,26 @@ def test_ptb_tokenizer():
     assert ptb_tokenize_line("Can't rule out edema...") == ["ca", "n't", "rule", "out", "edema"]
 
 
+def test_ptb_tokenizer_mid_line_sentence_periods():
+    """pycocoevalcap feeds Stanford's PTBTokenizer one whole multi-sentence
+    caption per line (-preserveLines), and the jar splits EVERY sentence-final
+    period — not just the line-final one the original PTB sed script handled.
+    Radiology reports are multi-sentence, so mid-report periods must split off
+    (and then drop via the punctuation filter) or no cross-sentence token can
+    ever match the reference battery's output. Abbreviations/acronyms keep
+    their period, like the jar's lexicon."""
+    assert ptb_tokenize_line("No pneumothorax. The heart is normal.") == [
+        "no", "pneumothorax", "the", "heart", "is", "normal",
+    ]
+    assert ptb_tokenize_line("Seen by Dr. Smith at 5 a.m. today. Stable.") == [
+        "seen", "by", "dr.", "smith", "at", "5", "a.m.", "today", "stable",
+    ]
+    # decimals keep their period; enumeration periods split; ellipsis drops whole
+    assert ptb_tokenize_line("1. Measures 5.4 cm. Unchanged vs. prior...") == [
+        "1", "measures", "5.4", "cm", "unchanged", "vs.", "prior",
+    ]
+
+
 def test_chexbert_scores_math():
     # 2 examples, 14 classes; class semantics: 1 == positive
     y = np.ones((2, 14), dtype=np.int64)
