@@ -44,23 +44,52 @@ def cosine_reward(params, config: BertDecoderConfig, pred_ids, pred_mask, label_
 class CXRBERTReward:
     """Callable mirroring ``tools/rewards/cxrbert.py``: (predictions, labels) → [B]
     rewards. ``tokenizer`` must provide ``__call__(texts, padding, truncation,
-    max_length) → {'input_ids','attention_mask'}`` (our WordPiece tokenizer)."""
+    max_length) → {'input_ids','attention_mask'}`` (our WordPiece tokenizer).
 
-    def __init__(self, params: Dict, config: BertDecoderConfig, tokenizer):
+    ``length_bucket``: after the tokenizer's longest-padding, the ids/mask are
+    zero-padded up to the next multiple of this (capped at the model's
+    max_position_embeddings). EXACT — padded keys carry attention_mask 0, so
+    ``padding_additive_mask`` excludes them from every softmax and the CLS
+    embedding is unchanged (tests/test_reward.py asserts equality) — and it
+    bounds the number of distinct compiled ``cosine_reward`` shapes: SCST calls
+    the reward every step with fresh sampled text whose longest-length varies
+    per batch, which under pure longest-padding would recompile the BERT
+    forward almost every step (each compile is minutes through the axon
+    tunnel). 0 disables (the reference's effective behaviour — torch has no
+    recompile cost to bound, `tools/rewards/cxrbert.py:23`)."""
+
+    def __init__(self, params: Dict, config: BertDecoderConfig, tokenizer,
+                 length_bucket: int = 32):
         self.params = params
         self.config = config
         self.tokenizer = tokenizer
+        self.length_bucket = length_bucket
+
+    def _tokenize(self, texts: Sequence[str], max_len: int):
+        out = self.tokenizer(list(texts), padding="longest", truncation=True,
+                             max_length=max_len)
+        ids = np.asarray(out["input_ids"], np.int32)
+        mask = np.asarray(out["attention_mask"], np.int32)
+        if self.length_bucket:
+            target = min(-(-ids.shape[1] // self.length_bucket) * self.length_bucket,
+                         max_len)
+            pad = target - ids.shape[1]
+            if pad > 0:
+                pad_id = getattr(self.tokenizer, "pad_token_id", 0)
+                ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=pad_id)
+                mask = np.pad(mask, ((0, 0), (0, pad)))
+        return ids, mask
 
     def __call__(self, predictions: Sequence[str], labels: Sequence[Sequence[str]]) -> np.ndarray:
         assert all(isinstance(p, str) for p in predictions)
         flat_labels = [l[0] for l in labels]
         max_len = self.config.max_position_embeddings
-        pred = self.tokenizer(list(predictions), padding="longest", truncation=True, max_length=max_len)
-        lab = self.tokenizer(flat_labels, padding="longest", truncation=True, max_length=max_len)
+        pred_ids, pred_mask = self._tokenize(predictions, max_len)
+        lab_ids, lab_mask = self._tokenize(flat_labels, max_len)
         sim = cosine_reward(
             self.params, self.config,
-            jnp.asarray(pred["input_ids"]), jnp.asarray(pred["attention_mask"]),
-            jnp.asarray(lab["input_ids"]), jnp.asarray(lab["attention_mask"]),
+            jnp.asarray(pred_ids), jnp.asarray(pred_mask),
+            jnp.asarray(lab_ids), jnp.asarray(lab_mask),
         )
         return np.asarray(sim)
 

@@ -61,6 +61,7 @@ def make_scst_step(
     trainable_mask: Optional[dict] = None,
     pad_id: int = 4,
     compute_dtype=None,
+    decode_kernel: Optional[str] = None,
 ):
     """Returns (rollout_fn, grad_fn):
 
@@ -71,7 +72,18 @@ def make_scst_step(
     (new_state, loss): one TF re-forward with re-warped logits + AdamW update.
 
     ``compute_dtype`` (bf16) mirrors the reference's fp16 SCST: rollouts and the
-    gradient re-forward run in the compute dtype, fp32 master params/moments."""
+    gradient re-forward run in the compute dtype, fp32 master params/moments.
+
+    ``decode_kernel``: Pallas decode-attention routing for the ROLLOUT
+    (``ops.decode_attention.resolve_decode_kernel``; None reads
+    ``CXRMATE_DECODE_KERNEL`` HERE, at make time, so the resolved value is a
+    concrete static when the rollout trace is built). SCST rollouts are not a
+    parity path — the sampled half is exploration and the REINFORCE gradient
+    re-forwards the SAMPLED sequences with the exact XLA path either way (the
+    log-probs in the loss are always the exact policy's) — so the q8 serving
+    kernel (``cross-rowgroup-q8[:G]``) is admissible here where exactness is
+    not contractual; the fused loop routes BOTH halves (sample + baseline)
+    through it. The hardware verdict lives in DEVNOTES round 5."""
 
     def _cast(tree):
         if compute_dtype is None:
@@ -84,10 +96,12 @@ def make_scst_step(
     # when the trace is built (an os.environ read inside the jitted body would
     # be frozen into the first trace and silently ignore later env changes)
     from cxrmate_tpu.generate.decode import resolve_cache_segments
+    from cxrmate_tpu.ops.decode_attention import resolve_decode_kernel
 
     scst_cache_segments = resolve_cache_segments(
         os.environ.get("CXRMATE_SCST_CACHE_SEGMENTS", "1")
     )
+    scst_decode_kernel = resolve_decode_kernel(decode_kernel)
 
     @jax.jit
     def rollout(variables, pixels, prompt_ids, prompt_mask, rng, prompt_logits_col=None):
@@ -112,6 +126,7 @@ def make_scst_step(
             rng if rng is not None else jax.random.PRNGKey(0),
             cache_segments=scst_cache_segments,
             prompt_logits_col=prompt_logits_col,
+            decode_kernel=scst_decode_kernel,
         )
         return sampled, baseline, enc_hidden, enc_mask
 

@@ -175,3 +175,33 @@ def test_chexbert_labeler_parity(wp_vocab):
         expected = torch.stack([head(h).argmax(dim=1) for head in heads], dim=1).numpy()
     got = chexbert_predict(params, cfg, ours_tok, reports, max_length=64)
     np.testing.assert_array_equal(got, expected)
+
+
+def test_cxrbert_reward_length_bucket_is_exact(wp_vocab):
+    """The reward's length bucketing (CXRBERTReward.length_bucket — pads the
+    tokenised batch up to a multiple of the bucket so SCST's per-step reward
+    calls compile a bounded number of BERT-forward shapes) is exact: padded
+    keys carry attention_mask 0, so padding_additive_mask drives their softmax
+    weights to exactly 0.0f and the CLS embedding is unchanged up to f32
+    reduction-order ulps."""
+    from cxrmate_tpu.reward.cxrbert import CXRBERTReward, convert_cxrbert
+
+    model, cfg = _small_bert_pair(seed=9, vocab=len(VOCAB_WORDS))
+    torch.manual_seed(10)
+    proj = torch.nn.Linear(24, 16, bias=False)
+    sd = {f"bert.{k}": v for k, v in model.state_dict().items()}
+    sd["cls_projection_head.weight"] = proj.weight
+    params = convert_cxrbert(sd, cfg)
+    tok = WordPieceTokenizer.from_file(wp_vocab)
+
+    predictions = ["the heart is normal no acute", "effusion"]
+    labels = [["the heart is normal"], ["no pleural effusion seen"]]
+    exact = CXRBERTReward(params, cfg, tok, length_bucket=0)(predictions, labels)
+    for bucket in (8, 32):
+        reward = CXRBERTReward(params, cfg, tok, length_bucket=bucket)
+        # the padded widths really are bucket multiples (capped at max_pos)
+        ids, mask = reward._tokenize(predictions, cfg.max_position_embeddings)
+        assert ids.shape == mask.shape and ids.shape[1] % bucket == 0
+        np.testing.assert_allclose(
+            reward(predictions, labels), exact, rtol=1e-6, atol=1e-6
+        )
