@@ -153,15 +153,28 @@ class TaskConfig:
     # model preset: "cxrmate" (CvT-21@384 + 6L BERT) or "tiny" (smoke tests)
     model_preset: str = "cxrmate"
     image_size: int = 384
-    # opt-in on-disk decoded-image cache shared by the train and eval loaders
+    # On-disk decoded-image cache shared by the train and eval loaders
     # (data/image.py "decoded-image cache"): JPEG entropy decode is the host
     # loaders' irreducible ~30-45 ms/image cost and every epoch/run re-decodes
     # the same files; the cache stores each transform's own deterministic uint8
     # intermediate (~150-180 KB/image), so cached outputs are byte-identical to
     # uncached per path (the PIL-exact eval path stays PIL-exact) and warm
-    # epochs load at ~0.1-3 ms/image. None (default) matches the reference's
-    # re-decode-every-epoch behaviour (data/dicom_id.py:78-95).
-    image_cache_dir: Optional[str] = None
+    # epochs load at ~0.1-3 ms/image. DEFAULT ON ("auto" → <exp_dir>/.image_cache,
+    # write-through; a background CacheWarmer overlaps epoch-1 decodes with the
+    # first XLA compile — cli/stages.py). Set explicitly to null/None for the
+    # reference's re-decode-every-epoch behaviour (data/dicom_id.py:78-95).
+    image_cache_dir: Optional[str] = "auto"
+
+    @property
+    def resolved_image_cache_dir(self) -> Optional[str]:
+        """``image_cache_dir`` with "auto" resolved under ``exp_dir`` (shared
+        across tasks/variants/trials of one experiments root) and falsy values
+        normalised to None (cache off)."""
+        if not self.image_cache_dir:
+            return None
+        if self.image_cache_dir == "auto":
+            return os.path.join(self.exp_dir, ".image_cache")
+        return self.image_cache_dir
 
     @property
     def exp_dir_trial(self) -> str:

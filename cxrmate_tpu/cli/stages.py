@@ -214,12 +214,13 @@ def make_datasets(task: TaskConfig, split: str, train: bool):
     mimic_dir = os.path.join(
         task.dataset_dir, "physionet.org", "files", "mimic-cxr-jpg", "2.0.0", "files"
     )
+    cache_dir = task.resolved_image_cache_dir
     load = (
         image_mod.make_train_loader_transform(
-            size=task.image_size, seed=task.trial, cache_dir=task.image_cache_dir)
+            size=task.image_size, seed=task.trial, cache_dir=cache_dir)
         if train
         else image_mod.make_eval_loader_transform(
-            size=task.image_size, cache_dir=task.image_cache_dir)
+            size=task.image_size, cache_dir=cache_dir)
     )
     # num_workers threads decode JPEGs concurrently (reference uses 5 loader workers)
     if task.variant == "single":
@@ -229,7 +230,7 @@ def make_datasets(task: TaskConfig, split: str, train: bool):
     history = df.loc[df["split"] == split]
     # gt_prompt: ground-truth prompts; gen_prompt/scst: model-generated prompts
     # (train-time SCST additionally bin-packs subjects onto lanes — prompt.py:75-80)
-    return PreviousReportDataset(
+    ds = PreviousReportDataset(
         sub, history, mimic_dir, load,
         use_generated=task.variant in ("gen_prompt", "scst"),
         scst_generated=task.variant == "scst" and train and split == "train",
@@ -243,6 +244,37 @@ def make_datasets(task: TaskConfig, split: str, train: bool):
         # batch schedule exactly.
         world_size=1,
     )
+    # eval-lane packing (VERDICT r4 item 6): generated-prompt EVAL decodes at
+    # the lane count, so allocate ~eval_decode_rows//num_beams lanes (capped at
+    # the subject count) instead of mbatch_size — token-identical at any lane
+    # count (allocate_eval_lanes docstring). Train keeps the parity allocator.
+    if ds.use_generated and not ds.scst_generated and not train \
+            and split != "train" and task.eval_decode_rows:
+        beams = task.num_test_beams if split == "test" else 1
+        ds.allocate_eval_lanes(
+            max(task.mbatch_size, task.eval_decode_rows // max(1, beams))
+        )
+    return ds
+
+
+def _start_cache_warmer(task: TaskConfig, *datasets):
+    """Background decoded-image-cache warmer over the given datasets' images —
+    iff the cache is enabled (``image_cache_dir``, default-on "auto"). Started
+    right before a stage's main loop so the daemon threads decode the epoch's
+    JPEGs WHILE the first XLA programs compile (minutes through the axon
+    tunnel); by first-batch time most entropy decodes are already paid and
+    even epoch 1 runs at the warm input rate (VERDICT r4 item 3; the reference
+    instead re-decodes in 5 loader workers every epoch,
+    `/root/reference/modules/lightning_modules/single.py:376-387`). Returns a
+    CacheWarmer (stop() it in a finally) or None. ``CXRMATE_CACHE_WARMER=0``
+    disables the warmer without disabling the cache."""
+    if task.resolved_image_cache_dir is None:
+        return None
+    if os.environ.get("CXRMATE_CACHE_WARMER", "1") == "0":
+        return None
+    from cxrmate_tpu.data.image import CacheWarmer
+
+    return CacheWarmer([(ds.load_image, ds.image_paths()) for ds in datasets])
 
 
 def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
@@ -423,7 +455,9 @@ def evaluate(task, config, tokenizer, variables, dataset, split: str, metrics: D
         # and a subject occupies ONE lane, so rank r decoding lanes r::world
         # in step order preserves every subject's history thread; the metric
         # layer gathers the disjoint per-rank row sets.
-        order, batch_rows, pad_rows = None, task.mbatch_size, 0
+        # the decode batch IS the allocator's lane count — eval-lane packing
+        # (make_datasets) may have allocated more lanes than mbatch_size
+        order, batch_rows, pad_rows = None, dataset.mbatch_size or task.mbatch_size, 0
         if jax.process_count() > 1:
             # The striding below is only sound under the allocator invariants
             # (dataset order IS the lane interleave, every lane fully
@@ -738,47 +772,52 @@ def fit(task: TaskConfig, chexbert_fn=None) -> None:
     # checkpoint is mid-epoch — epoch 0, step 1567). The schedule counts GLOBAL
     # batches (same on every process).
     val_every, total_batches = _mid_epoch_schedule(task, len(train_set))
-    for epoch in range(start_epoch, task.max_epochs):
-        if hasattr(train_set.load_image, "set_epoch"):
-            train_set.load_image.set_epoch(epoch)
-        skip = skip_batches if epoch == start_epoch else 0
-        it = Prefetcher(
-            batch_iterator(
-                train_set, task.mbatch_size, shuffle=True, seed=epoch,
-                max_images=collate_max, drop_last=True, row_shard=row_shard,
-                num_workers=task.num_workers, skip_batches=skip,
+    warmer = _start_cache_warmer(task, train_set, val_set)
+    try:
+        for epoch in range(start_epoch, task.max_epochs):
+            if hasattr(train_set.load_image, "set_epoch"):
+                train_set.load_image.set_epoch(epoch)
+            skip = skip_batches if epoch == start_epoch else 0
+            it = Prefetcher(
+                batch_iterator(
+                    train_set, task.mbatch_size, shuffle=True, seed=epoch,
+                    max_images=collate_max, drop_last=True, row_shard=row_shard,
+                    num_workers=task.num_workers, skip_batches=skip,
+                )
             )
-        )
-        n_batches = skip
-        fresh = 0
-        for batch in it:
-            tf_batch = build_tf_batch(
-                tokenizer, config, batch["images"].astype(np.float32),
-                batch["findings"], batch["impression"],
-                batch.get("previous_findings"), batch.get("previous_impression"),
-                pad_report_to=pad_report_to, pad_prompt_to=pad_prompt_to,
-            )
-            k = jax.random.fold_in(base_rng, global_step)
-            with annotate("train_step"):
-                state, loss = step(state, place_batch(tf_batch, mesh), k)
-            n_batches += 1
-            fresh += 1
-            global_step += 1
-            if n_batches % 50 == 0 or n_batches == skip + 1:
-                # skip+1, not 1: a mid-epoch resume starts counting at `skip`,
-                # and the operator still wants a first-step liveness line
-                _log_scalars(task, {"epoch": epoch, "step": n_batches, "train_loss": float(loss)})
-            if val_every and n_batches % val_every == 0 and n_batches < total_batches:
-                run_validation(state, epoch, step=global_step, n_batches=n_batches,
-                               gstep=global_step)
-            if task.fast_dev_run and fresh >= 1:
+            n_batches = skip
+            fresh = 0
+            for batch in it:
+                tf_batch = build_tf_batch(
+                    tokenizer, config, batch["images"].astype(np.float32),
+                    batch["findings"], batch["impression"],
+                    batch.get("previous_findings"), batch.get("previous_impression"),
+                    pad_report_to=pad_report_to, pad_prompt_to=pad_prompt_to,
+                )
+                k = jax.random.fold_in(base_rng, global_step)
+                with annotate("train_step"):
+                    state, loss = step(state, place_batch(tf_batch, mesh), k)
+                n_batches += 1
+                fresh += 1
+                global_step += 1
+                if n_batches % 50 == 0 or n_batches == skip + 1:
+                    # skip+1, not 1: a mid-epoch resume starts counting at `skip`,
+                    # and the operator still wants a first-step liveness line
+                    _log_scalars(task, {"epoch": epoch, "step": n_batches, "train_loss": float(loss)})
+                if val_every and n_batches % val_every == 0 and n_batches < total_batches:
+                    run_validation(state, epoch, step=global_step, n_batches=n_batches,
+                                   gstep=global_step)
+                if task.fast_dev_run and fresh >= 1:
+                    break
+            it.close()
+            # ModelCheckpoint every_n_epochs / check_val_every_n_epoch
+            if (epoch + 1) % task.every_n_epochs == 0 or task.fast_dev_run:
+                run_validation(state, epoch, gstep=global_step)
+            if task.fast_dev_run:
                 break
-        it.close()
-        # ModelCheckpoint every_n_epochs / check_val_every_n_epoch
-        if (epoch + 1) % task.every_n_epochs == 0 or task.fast_dev_run:
-            run_validation(state, epoch, gstep=global_step)
-        if task.fast_dev_run:
-            break
+    finally:
+        if warmer is not None:
+            warmer.stop()
 
 
 def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
@@ -918,105 +957,111 @@ def fit_scst(task: TaskConfig, reward_fn, chexbert_fn=None) -> None:
     if multiprocess and collate_max is None and task.variant != "single":
         collate_max = task.max_images_per_study
 
-    for epoch in range(start_epoch, task.max_epochs):
-        if hasattr(train_set.load_image, "set_epoch"):
-            train_set.load_image.set_epoch(epoch)
-        skip = skip_batches if epoch == start_epoch else 0
-        if gen_prompt_scst:
-            # per-epoch subject→lane reallocation + history reset (scst/gen_prompt.py:152-158)
-            train_set.allocate_subjects_to_rank(
-                seed=(epoch + task.trial + 1) * (task.trial + 1)
-            )
-            train_set.reset_generated()
-            if skip and resume_history is not None:
-                train_set.import_generated(resume_history)
-            # Sequential in allocator order (scst/gen_prompt.py:118); lanes were
-            # packed per global mbatch slot, so batch t row j is lane j.
-            # No prefetch: __getitem__ reads history written back after each step
-            # (the reference's num_workers=0 loaders, gen_prompt.py:66-82).
-            # Multi-process: every process iterates the same global schedule and
-            # materialises only its row stripe (lane j → fixed global row j →
-            # one rank owns the subject's whole history).
-            it = batch_iterator(train_set, task.mbatch_size, max_images=collate_max,
-                                drop_last=True, row_shard=row_shard, skip_batches=skip)
-        else:
-            # scst_gt inherits GTPrompt's ordinary shuffled loader (gt_prompt.py via
-            # scst/gt_prompt.py:8 — no sampler/history overrides)
-            it = Prefetcher(
-                batch_iterator(train_set, task.mbatch_size, shuffle=True, seed=epoch,
-                               max_images=collate_max, drop_last=True,
-                               row_shard=row_shard, skip_batches=skip)
-            )
-        # len(train_set) can change per epoch (the allocator oversamples to lane
-        # divisibility) — recompute the fractional-validation schedule each epoch
-        val_every, total_batches = _mid_epoch_schedule(task, len(train_set))
-        n_batches = skip
-        fresh = 0
-        for batch in it:
-            prompt = ed.tokenize_prompt(
-                batch["previous_findings"], batch["previous_impression"], tokenizer,
-                task.decoder_max_len, add_bos_token_id=True,
-            )
-            # bucket prompt widths like the eval path above: SCST prompt widths
-            # vary every batch (histories grow as training writes them back),
-            # and every distinct width compiles a fresh rollout + grad program.
-            # Bit-exact — the first token issues from the true batch-longest
-            # column and the extra pad columns are mask-inert
-            # (tests/test_scst.py::test_scst_prompt_bucketing_is_inert).
-            true_width = prompt["input_ids"].shape[1]
-            if multiprocess:
-                # ranks must agree on the width AND the first-token column: the
-                # true longest is the GLOBAL batch's (what the single-process
-                # run would pad to), so stripes whose own longest is shorter
-                # pad up to it before bucketing
-                g_width = global_max_int(true_width)
-                if g_width > true_width:
-                    pad = g_width - true_width
-                    prompt["input_ids"] = np.pad(
-                        prompt["input_ids"], ((0, 0), (0, pad)),
-                        constant_values=tokenizer.pad_token_id,
-                    )
-                    prompt["attention_mask"] = np.pad(
-                        prompt["attention_mask"], ((0, 0), (0, pad)), constant_values=0
-                    )
-                true_width = g_width
-            p_ids, p_mask = ed.bucket_prompt(
-                prompt["input_ids"], prompt["attention_mask"], tokenizer.pad_token_id,
-                bucket=32, max_len=task.decoder_max_len,
-            )
-            k = jax.random.fold_in(base_rng, global_step)
-            placed = place_batch(
-                {
-                    "images": np.asarray(batch["images"], np.float32),
-                    "prompt_ids": p_ids.astype(np.int32),
-                    "prompt_mask": p_mask.astype(np.int32),
-                },
-                mesh,
-            )
-            state, logs, (b_f, b_i) = trainer.step(
-                state, placed["images"], placed["prompt_ids"], placed["prompt_mask"],
-                batch["findings"], batch["impression"], k,
-                prompt_logits_col=true_width - 1,
-            )
-            _log_scalars(task, {"epoch": epoch, **logs})
+    warmer = _start_cache_warmer(task, train_set, val_set)
+    try:
+        for epoch in range(start_epoch, task.max_epochs):
+            if hasattr(train_set.load_image, "set_epoch"):
+                train_set.load_image.set_epoch(epoch)
+            skip = skip_batches if epoch == start_epoch else 0
             if gen_prompt_scst:
-                # baseline outputs feed the history for later studies of the subject
-                for sid, f, i in zip(batch["study_ids"], b_f, b_i):
-                    train_set.record_generated(sid, f, i)
-            n_batches += 1
-            fresh += 1
-            global_step += 1
-            if val_every and n_batches % val_every == 0 and n_batches < total_batches:
-                run_validation(state, epoch, step=global_step, n_batches=n_batches,
-                               gstep=global_step)
-            if task.fast_dev_run and fresh >= 1:
+                # per-epoch subject→lane reallocation + history reset (scst/gen_prompt.py:152-158)
+                train_set.allocate_subjects_to_rank(
+                    seed=(epoch + task.trial + 1) * (task.trial + 1)
+                )
+                train_set.reset_generated()
+                if skip and resume_history is not None:
+                    train_set.import_generated(resume_history)
+                # Sequential in allocator order (scst/gen_prompt.py:118); lanes were
+                # packed per global mbatch slot, so batch t row j is lane j.
+                # No prefetch: __getitem__ reads history written back after each step
+                # (the reference's num_workers=0 loaders, gen_prompt.py:66-82).
+                # Multi-process: every process iterates the same global schedule and
+                # materialises only its row stripe (lane j → fixed global row j →
+                # one rank owns the subject's whole history).
+                it = batch_iterator(train_set, task.mbatch_size, max_images=collate_max,
+                                    drop_last=True, row_shard=row_shard, skip_batches=skip)
+            else:
+                # scst_gt inherits GTPrompt's ordinary shuffled loader (gt_prompt.py via
+                # scst/gt_prompt.py:8 — no sampler/history overrides)
+                it = Prefetcher(
+                    batch_iterator(train_set, task.mbatch_size, shuffle=True, seed=epoch,
+                                   max_images=collate_max, drop_last=True,
+                                   row_shard=row_shard, skip_batches=skip)
+                )
+            # len(train_set) can change per epoch (the allocator oversamples to lane
+            # divisibility) — recompute the fractional-validation schedule each epoch
+            val_every, total_batches = _mid_epoch_schedule(task, len(train_set))
+            n_batches = skip
+            fresh = 0
+            for batch in it:
+                prompt = ed.tokenize_prompt(
+                    batch["previous_findings"], batch["previous_impression"], tokenizer,
+                    task.decoder_max_len, add_bos_token_id=True,
+                )
+                # bucket prompt widths like the eval path above: SCST prompt widths
+                # vary every batch (histories grow as training writes them back),
+                # and every distinct width compiles a fresh rollout + grad program.
+                # Bit-exact — the first token issues from the true batch-longest
+                # column and the extra pad columns are mask-inert
+                # (tests/test_scst.py::test_scst_prompt_bucketing_is_inert).
+                true_width = prompt["input_ids"].shape[1]
+                if multiprocess:
+                    # ranks must agree on the width AND the first-token column: the
+                    # true longest is the GLOBAL batch's (what the single-process
+                    # run would pad to), so stripes whose own longest is shorter
+                    # pad up to it before bucketing
+                    g_width = global_max_int(true_width)
+                    if g_width > true_width:
+                        pad = g_width - true_width
+                        prompt["input_ids"] = np.pad(
+                            prompt["input_ids"], ((0, 0), (0, pad)),
+                            constant_values=tokenizer.pad_token_id,
+                        )
+                        prompt["attention_mask"] = np.pad(
+                            prompt["attention_mask"], ((0, 0), (0, pad)), constant_values=0
+                        )
+                    true_width = g_width
+                p_ids, p_mask = ed.bucket_prompt(
+                    prompt["input_ids"], prompt["attention_mask"], tokenizer.pad_token_id,
+                    bucket=32, max_len=task.decoder_max_len,
+                )
+                k = jax.random.fold_in(base_rng, global_step)
+                placed = place_batch(
+                    {
+                        "images": np.asarray(batch["images"], np.float32),
+                        "prompt_ids": p_ids.astype(np.int32),
+                        "prompt_mask": p_mask.astype(np.int32),
+                    },
+                    mesh,
+                )
+                state, logs, (b_f, b_i) = trainer.step(
+                    state, placed["images"], placed["prompt_ids"], placed["prompt_mask"],
+                    batch["findings"], batch["impression"], k,
+                    prompt_logits_col=true_width - 1,
+                )
+                _log_scalars(task, {"epoch": epoch, **logs})
+                if gen_prompt_scst:
+                    # baseline outputs feed the history for later studies of the subject
+                    for sid, f, i in zip(batch["study_ids"], b_f, b_i):
+                        train_set.record_generated(sid, f, i)
+                n_batches += 1
+                fresh += 1
+                global_step += 1
+                if val_every and n_batches % val_every == 0 and n_batches < total_batches:
+                    run_validation(state, epoch, step=global_step, n_batches=n_batches,
+                                   gstep=global_step)
+                if task.fast_dev_run and fresh >= 1:
+                    break
+            if hasattr(it, "close"):
+                it.close()
+            if (epoch + 1) % task.every_n_epochs == 0 or task.fast_dev_run:
+                run_validation(state, epoch, gstep=global_step)
+            if task.fast_dev_run:
                 break
-        if hasattr(it, "close"):
-            it.close()
-        if (epoch + 1) % task.every_n_epochs == 0 or task.fast_dev_run:
-            run_validation(state, epoch, gstep=global_step)
-        if task.fast_dev_run:
-            break
+    finally:
+        if warmer is not None:
+            warmer.stop()
+
 
 
 def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) -> Dict:
@@ -1061,10 +1106,18 @@ def test(task: TaskConfig, chexbert_fn=None, reward_fn=None, bertscorer=None) ->
         ReportLogger("test_reports", task.exp_dir_trial, task.variant == "single"),
         ReportTokenIdentifiersLogger("test_report_ids", task.exp_dir_trial, task.variant == "single"),
     )
-    return evaluate(
-        task, config, tokenizer, variables, test_set, "test", metrics,
-        task.num_test_beams, 0, loggers, mesh=mesh,
-    )
+    # decode the test images into the cache while the beam program compiles —
+    # a fresh `--test` on a new host no longer pays the cold input rate for its
+    # whole (only) pass (VERDICT r4 item 3)
+    warmer = _start_cache_warmer(task, test_set)
+    try:
+        return evaluate(
+            task, config, tokenizer, variables, test_set, "test", metrics,
+            task.num_test_beams, 0, loggers, mesh=mesh,
+        )
+    finally:
+        if warmer is not None:
+            warmer.stop()
 
 
 def build_cxrbert_reward(task: TaskConfig):
@@ -1118,7 +1171,9 @@ def build_bertscorer(task: TaskConfig):
     (`tools/metrics/bertscore.py:84-94`). Offline, the model lives in the zoo as
     an HF checkpoint dir (``roberta-large`` or ``FacebookAI/roberta-large``) and
     the rescale baseline as bert-score's ``roberta-large.tsv`` next to the
-    weights (missing baseline → warn and report unrescaled scores)."""
+    weights. A missing baseline warns and reports RAW scores with every emitted
+    key/CSV column suffixed ``_unrescaled`` (eval/bertscore.py:compute) so raw
+    and rescaled numbers can never be silently compared across runs."""
     import warnings
 
     from cxrmate_tpu.eval.bertscore import (

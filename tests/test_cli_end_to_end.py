@@ -1053,6 +1053,54 @@ def test_eval_decode_packing_token_identical(packing_dataset, variant):
     pd.testing.assert_frame_equal(ids_csv(unpacked), ids_csv(packed))
 
 
+def test_gen_prompt_eval_lane_packing_token_identical(packing_dataset):
+    """VERDICT r4 item 6: the gen-prompt test decode packs via LANE COUNT.
+    eval_decode_rows=0 keeps the reference-parity allocator at mbatch_size
+    lanes (2); eval_decode_rows=6 with beam 2 allocates 3 padded lanes
+    (allocate_eval_lanes — lane-local history + repeat-padding), decoding the
+    same studies in differently-composed batches. History stays within a lane,
+    so per-study token ids must be identical; the duplicate-padded rows are
+    deduped by the CSV/metric layer."""
+    root = packing_dataset
+
+    def _ptask(exp_name, rows):
+        return TaskConfig(
+            variant="gen_prompt",
+            exp_dir=str(root / exp_name),
+            dataset_dir=str(root / "datasets"),
+            ckpt_zoo_dir=str(root / "checkpoints"),
+            mbatch_size=2,
+            accumulated_mbatch_size=2,
+            decoder_max_len=24,
+            num_test_beams=2,
+            max_images_per_study=2,
+            model_preset="tiny",
+            image_size=32,
+            monitor="val_report_nlg_bleu_1",
+            fast_dev_run=True,  # fresh deterministic init (seeded by trial)
+            eval_decode_rows=rows,
+        )
+
+    def ids_csv(task):
+        files = sorted(glob.glob(os.path.join(
+            task.exp_dir_trial, "generated_report_ids", "*.csv")))
+        return pd.read_csv(files[-1]).sort_values("study_id").reset_index(drop=True)
+
+    from cxrmate_tpu.cli.stages import make_datasets
+
+    unpacked = _ptask("exp_lanes_off", 0)
+    packed = _ptask("exp_lanes_on", 6)
+    ds_off = make_datasets(unpacked, "test", train=False)
+    ds_on = make_datasets(packed, "test", train=False)
+    assert ds_off.mbatch_size == 2 and ds_on.mbatch_size == 3
+    assert len(ds_on) % ds_on.mbatch_size == 0
+    assert set(ds_on.examples) == set(ds_off.examples)  # every study present
+
+    run_test_stage(unpacked)
+    run_test_stage(packed)
+    pd.testing.assert_frame_equal(ids_csv(unpacked), ids_csv(packed))
+
+
 def test_make_datasets_image_cache_dir_threading(synthetic_dataset, tmp_path):
     """The `image_cache_dir` task knob reaches both CLI loaders (train + eval,
     cli/stages.py:make_datasets) and is output-inert: cached datasets yield
@@ -1061,7 +1109,7 @@ def test_make_datasets_image_cache_dir_threading(synthetic_dataset, tmp_path):
 
     root = synthetic_dataset
     cdir = tmp_path / "img_cache"
-    plain_task = _task(root, "multi")
+    plain_task = _task(root, "multi", image_cache_dir=None)  # explicit off
     cached_task = _task(root, "multi", image_cache_dir=str(cdir))
 
     for split, train in (("train", True), ("test", False)):
@@ -1096,10 +1144,62 @@ def test_warm_cache_script(synthetic_dataset, tmp_path):
     assert rc == 0
     n_entries = len(glob.glob(os.path.join(str(cdir), "*", "*.npy")))
     assert n_entries > 0
-    plain = make_datasets(_task(root, "multi"), "test", train=False)
+    plain = make_datasets(_task(root, "multi", image_cache_dir=None), "test",
+                          train=False)
     cached = make_datasets(
         _task(root, "multi", image_cache_dir=str(cdir)), "test", train=False)
     for i in range(len(plain.examples)):
         np.testing.assert_array_equal(plain[i]["images"], cached[i]["images"])
     # the reads above were hits: no new entries were created
     assert len(glob.glob(os.path.join(str(cdir), "*", "*.npy"))) == n_entries
+
+
+def test_image_cache_default_auto_and_resolution(synthetic_dataset):
+    """The decoded-image cache is DEFAULT ON (VERDICT r4 item 3): unset
+    image_cache_dir resolves to <exp_dir>/.image_cache; explicit None turns it
+    off; explicit paths pass through."""
+    root = synthetic_dataset
+    task = _task(root, "multi")
+    assert task.image_cache_dir == "auto"
+    assert task.resolved_image_cache_dir == os.path.join(task.exp_dir, ".image_cache")
+    assert _task(root, "multi", image_cache_dir=None).resolved_image_cache_dir is None
+    assert _task(root, "multi", image_cache_dir="/x/y").resolved_image_cache_dir == "/x/y"
+
+
+def test_fit_populates_default_image_cache(synthetic_dataset):
+    """A plain fit() with the default config writes decoded-image cache entries
+    under <exp_dir>/.image_cache (write-through via the loaders + the
+    background CacheWarmer that overlaps epoch-1 decodes with the first
+    compile)."""
+    root = synthetic_dataset
+    task = _task(root, "multi", fast_dev_run=True, trial=7)
+    fit(task)
+    entries = glob.glob(os.path.join(task.exp_dir, ".image_cache", "*", "*.npy"))
+    assert entries, "default-on cache never populated by fit()"
+
+
+def test_cache_warmer_populates_and_stops(synthetic_dataset, tmp_path):
+    """CacheWarmer decodes a dataset's images into the cache on background
+    threads (same entries the loader would write), and stop() terminates the
+    threads."""
+    from cxrmate_tpu.cli.stages import _start_cache_warmer, make_datasets
+
+    root = synthetic_dataset
+    cdir = tmp_path / "warm"
+    task = _task(root, "multi", image_cache_dir=str(cdir))
+    ds = make_datasets(task, "test", train=False)
+    warmer = _start_cache_warmer(task, ds)
+    assert warmer is not None
+    for t in warmer.threads:
+        t.join(timeout=30)
+    assert glob.glob(os.path.join(str(cdir), "*", "*.npy")), "warmer wrote nothing"
+    warmer.stop()
+    assert not any(t.is_alive() for t in warmer.threads)
+    # reads after warming are pure hits, byte-identical to uncached
+    plain = make_datasets(_task(root, "multi", image_cache_dir=None), "test", train=False)
+    n = len(glob.glob(os.path.join(str(cdir), "*", "*.npy")))
+    for i in range(len(ds.examples)):
+        np.testing.assert_array_equal(plain[i]["images"], ds[i]["images"])
+    assert len(glob.glob(os.path.join(str(cdir), "*", "*.npy"))) == n
+    # warmer respects the off switches
+    assert _start_cache_warmer(_task(root, "multi", image_cache_dir=None), ds) is None
