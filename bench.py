@@ -344,6 +344,154 @@ def run_scst(batch=1, iters=5, prompt_width=64):
     return dt, batch / dt
 
 
+def _build_bench_bpe(vocab_size=30000):
+    """A full-width (30k) byte-level BPE for the SCST e2e bench's host decode:
+    ids sampled by the random-weight model cover the whole 30k vocab, so the
+    tokenizer must decode any of them. Entries beyond the byte alphabet are
+    synthetic 'Ġw<i>' word tokens (decoding to ' w<i>'), giving the BPE
+    decode + section split realistic string lengths (~5-7 chars/token, like
+    real report BPE tokens) without the real trained vocab (unavailable
+    offline). Decode cost is a table lookup either way, so timings transfer."""
+    from cxrmate_tpu.tokenizer.bpe import ByteLevelBPETokenizer, bytes_to_unicode
+
+    specials = ["[UNK]", "[BOS]", "[EOS]", "[SEP]", "[PAD]", "[MASK]"]
+    extra = ["[PMT]", "[PMT-SEP]", "[NPF]", "[NPI]"]
+    vocab = {t: i for i, t in enumerate(specials + extra)}
+    for ch in bytes_to_unicode().values():
+        if ch not in vocab:
+            vocab[ch] = len(vocab)
+    g = bytes_to_unicode()[ord(" ")]  # 'Ġ'
+    i = 0
+    while len(vocab) < vocab_size:
+        vocab.setdefault(f"{g}w{i}", len(vocab))
+        i += 1
+    return ByteLevelBPETokenizer(vocab, merges=[], additional_special_tokens=extra)
+
+
+def _build_bench_wordpiece(vocab_size=30522):
+    """A BERT-base-width WordPiece vocab matching the bench BPE's 'w<i>' word
+    shapes (single-piece hits, like common words in the real CXR-BERT vocab)."""
+    import string
+
+    from cxrmate_tpu.tokenizer.wordpiece import WordPieceTokenizer
+
+    vocab = {}
+    for t in ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"):
+        vocab[t] = len(vocab)
+    for ch in string.printable:
+        if not ch.isspace():
+            vocab.setdefault(ch, len(vocab))
+    i = 0
+    while len(vocab) < vocab_size:
+        vocab.setdefault(f"w{i}", len(vocab))
+        if len(vocab) < vocab_size:
+            vocab.setdefault(f"##{i}", len(vocab))
+        i += 1
+    return WordPieceTokenizer(vocab)
+
+
+def _build_bench_cxrbert():
+    """Random-weight CXR-BERT at the REAL checkpoint's architecture (BERT-base:
+    768 wide, 12 layers, 12 heads, vocab 30522, 128-dim projection —
+    `/root/reference/tools/rewards/cxrbert.py:9`,
+    microsoft/BiomedVLP-CXR-BERT-specialized). Random weights time identically
+    to trained ones; the checkpoint itself is unavailable offline."""
+    import jax
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.configs import BertDecoderConfig
+    from cxrmate_tpu.models.bert import init_bert_params
+    from cxrmate_tpu.reward.cxrbert import CXRBERTReward
+
+    cfg = BertDecoderConfig(
+        vocab_size=30522, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=512, type_vocab_size=2, pad_token_id=0,
+        add_cross_attention=False,
+    )
+    bert = init_bert_params(jax.random.PRNGKey(11), cfg)
+    bert.pop("lm_head", None)
+    proj = {"w": jax.random.normal(jax.random.PRNGKey(12), (768, 128)) * 0.02}
+    params = jax.tree.map(lambda x: jnp.asarray(x), {"bert": bert, "projection": proj})
+    return CXRBERTReward(params, cfg, _build_bench_wordpiece())
+
+
+def run_scst_e2e(batch=1, iters=5, prompt_width=64, decode_kernel=None,
+                 reward_fn=None):
+    """SCST step END-TO-END — the step the reference actually runs
+    (`scst/gt_prompt.py:94-129`): fused sampled+baseline rollout (device) →
+    sequences to host → BPE decode + section split → WordPiece tokenise →
+    CXR-BERT forward ×2 (device, real BERT-base shapes) → advantage →
+    REINFORCE grad step. Unlike ``run_scst`` (the pure device train step with
+    a synthetic advantage), this number includes the host↔device reward
+    round-trip the reference's SCST pays every step
+    (`tools/rewards/cxrbert.py:23`, SURVEY §3.3 HOT).
+
+    ``decode_kernel`` routes the ROLLOUT through a serving kernel (the q8
+    A/B — SCST rollouts are not a parity path; see make_scst_step).
+    Returns (ms/step, studies/s, reward_fn) — the reward model is built once
+    and reusable across batch sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    from cxrmate_tpu.configs import longitudinal_config
+    from cxrmate_tpu.generate import GenerationConfig
+    from cxrmate_tpu.models import encoder_decoder as ed
+    from cxrmate_tpu.train import optim
+    from cxrmate_tpu.train.scst import SCSTTrainer, make_scst_step
+    from cxrmate_tpu.train.tf_trainer import create_train_state
+
+    config = longitudinal_config(vocab_size=30000)
+    variables = build(config, dtype=jnp.float32)
+    mask = optim.mask_for_stage(variables["params"], "scst")
+    tx = optim.adamw(5e-6, accumulate_steps=max(1, 32 // batch), trainable_mask=mask)
+    state = create_train_state(variables, tx)
+    gen_sample = GenerationConfig(
+        max_new_tokens=DECODE_TOKENS, bos_token_id=1, eos_token_id=2,
+        pad_token_id=4, mask_token_id=4, special_token_ids=(1, 3),
+        token_type_sections=(0, 1, 0, 1),
+        do_sample=True, top_k=50, top_p=1.0, temperature=1.0,
+    )
+    gen_base = GenerationConfig(
+        max_new_tokens=DECODE_TOKENS, bos_token_id=1, eos_token_id=2,
+        pad_token_id=4, mask_token_id=4, special_token_ids=(5, 1, 3),
+        token_type_sections=(0, 1, 0, 1),
+    )
+    rollout, grad_step = make_scst_step(
+        config, gen_sample, gen_base, tx, trainable_mask=mask, pad_id=4,
+        compute_dtype=jnp.bfloat16, decode_kernel=decode_kernel,
+    )
+    bpe = _build_bench_bpe()
+    if reward_fn is None:
+        reward_fn = _build_bench_cxrbert()
+
+    def split_fn(token_ids):
+        return ed.split_and_decode_sections(token_ids, [1, 3, 2], bpe)
+
+    trainer = SCSTTrainer(config, rollout, grad_step, reward_fn, split_fn)
+    rs = np.random.RandomState(0)
+    pixels = jnp.asarray(rs.randn(batch, N_IMAGES, 3, 384, 384), jnp.float32)
+    w = prompt_width
+    prompt_ids = np.concatenate(
+        [np.full((batch, 1), 1, np.int32),
+         rs.randint(6, 30000, size=(batch, w - 1)).astype(np.int32)], axis=1)
+    prompt_mask = np.ones((batch, w), np.int32)
+    # ground-truth labels at a realistic report length (~60 words/section)
+    findings = [" ".join(f"w{rs.randint(0, 15000)}" for _ in range(60))
+                for _ in range(batch)]
+    impression = [" ".join(f"w{rs.randint(0, 15000)}" for _ in range(20))
+                  for _ in range(batch)]
+    rngs = [jax.random.PRNGKey(i) for i in range(iters + 1)]
+    state, _, _ = trainer.step(  # compile + warm (rollout, grad, 2 reward shapes)
+        state, pixels, prompt_ids, prompt_mask, findings, impression, rngs[0])
+    t0 = time.perf_counter()
+    for it in range(iters):
+        state, logs, _ = trainer.step(
+            state, pixels, prompt_ids, prompt_mask, findings, impression, rngs[it + 1])
+    dt = (time.perf_counter() - t0) / iters
+    return dt, batch / dt, reward_fn
+
+
 JPEG_CORPUS_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_jpegs"
 )
@@ -474,8 +622,18 @@ def run_input_pipeline(paths, batch=BATCH, decode_tokens=DECODE_TOKENS, n_batche
             for b in range(n):
                 flat = [paths[(b * batch * N_IMAGES + i) % len(paths)]
                         for i in range(batch * N_IMAGES)]
-                imgs = list(pool.map(load, flat))
-                yield np.stack(imgs).reshape(batch, N_IMAGES, 384, 384)
+                # worker threads write straight into a preallocated batch
+                # buffer: no per-image list + no serial 28 MB np.stack pass on
+                # the consumer thread (round-5 host-stack trim; the copies now
+                # happen inside the pool, overlapped with each other and with
+                # device compute via the Prefetcher)
+                out = np.empty((len(flat), 384, 384), np.uint8)
+
+                def fill(i):
+                    out[i] = load(flat[i])
+
+                list(pool.map(fill, range(len(flat))))
+                yield out.reshape(batch, N_IMAGES, 384, 384)
 
     modes = [("cold", make_fast_eval_loader_transform(384))]
     if cache_dir is not None:
@@ -591,6 +749,9 @@ def main():
     # kernel on the cross-KV stream — NOT bit-exact (MXU f32 accumulation; see
     # ops/decode_attention.py:resolve_decode_kernel), flagged as such in the JSON
     greedy_fast_sps = greedy_q8_sps = None
+    beam_fast_sps = beam_q8_sps = beam_q8_ref_sps = None
+    long_q8_by_width = {}
+    long_q8_sps = None
     if os.environ.get("CXRMATE_BENCH_FUSED", "0") == "1":
         # the fused decode path has no attention routing, so these sections
         # would re-measure the fused EXACT path mislabeled as kernel numbers
@@ -622,6 +783,54 @@ def main():
         except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
             print(f"greedy-q8 bench failed: {e}", file=sys.stderr)
             errors.append(f"greedy_q8: {type(e).__name__}: {e}")
+        # the serving kernels on the paths that MATTER (VERDICT r4 item 1): the
+        # reference's actual test decode is beam-4 (`single_tf.yaml:23-24`) and
+        # the flagship config is longitudinal beam-4 — beam shares the cross-KV
+        # cache across a study's 4 beams (M=4 per study·head → ~4× fewer cross
+        # bytes/row than greedy, DEVNOTES), so the kernels' greedy wins must be
+        # re-measured here, not extrapolated. Same non-exact caveats as greedy.
+        for label, kern, bb in (
+            ("beam_fast", "cross-rowgroup:4", BEAM_BATCH),
+            ("beam_q8", "cross-rowgroup-q8:4", BEAM_BATCH),
+            ("beam_q8_ref", "cross-rowgroup-q8:4", BEAM_REF_BATCH),
+        ):
+            try:
+                sps_k, dt_k = run(batch=bb, beam=True, iters=2, decode_kernel=kern)
+                print(
+                    f"beam-{NUM_BEAMS} {label} ({kern}, non-exact): batch={bb}; "
+                    f"batch latency {dt_k * 1e3:.1f} ms "
+                    f"({dt_k / bb * 1e3:.2f} ms/study)",
+                    file=sys.stderr,
+                )
+                if label == "beam_fast":
+                    beam_fast_sps = sps_k
+                elif label == "beam_q8":
+                    beam_q8_sps = sps_k
+                else:
+                    beam_q8_ref_sps = sps_k
+            except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
+                print(f"{label} bench failed: {e}", file=sys.stderr)
+                errors.append(f"{label}: {type(e).__name__}: {e}")
+        # the FLAGSHIP path (longitudinal prompted beam-4, the released
+        # aehrc/cxrmate test config) with the q8 cross-KV kernel
+        for w in LONGITUDINAL_PROMPT_BUCKETS:
+            try:
+                sps_l, dt_l = run(batch=BEAM_BATCH, beam=True, iters=2,
+                                  longitudinal_prompt_width=w,
+                                  decode_kernel="cross-rowgroup-q8:4")
+                long_q8_by_width[str(w)] = round(sps_l, 3)
+                print(
+                    f"longitudinal q8 beam-{NUM_BEAMS}: prompt {w} tok, "
+                    f"batch={BEAM_BATCH}; batch latency {dt_l * 1e3:.1f} ms "
+                    f"({dt_l / BEAM_BATCH * 1e3:.2f} ms/study incl. prefill)",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
+                print(f"longitudinal-q8[{w}] bench failed: {e}", file=sys.stderr)
+                errors.append(f"longitudinal_q8[{w}]: {type(e).__name__}: {e}")
+        if long_q8_by_width:
+            vals = list(long_q8_by_width.values())
+            long_q8_sps = sum(vals) / len(vals)
     train_ms = train_sps = None
     train_sweep = {}
     train_mfu = None
@@ -685,6 +894,35 @@ def main():
             except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
                 print(f"scst bench (mbatch {bb}) failed: {e}", file=sys.stderr)
                 errors.append(f"scst[{bb}]: {type(e).__name__}: {e}")
+    # SCST END-TO-END with the real reward path (VERDICT r4 item 2): rollout →
+    # host → BPE split → WordPiece → CXR-BERT (BERT-base shapes) → advantage →
+    # REINFORCE grad. Plus the q8-rollout A/B (serving kernel on the rollout —
+    # not a parity path, see train/scst.py:make_scst_step).
+    scst_e2e_ms = scst_e2e_sps = scst_e2e8_sps = scst_e2e8_q8_sps = None
+    if os.environ.get("CXRMATE_BENCH_SKIP_SCST_E2E", "0") != "1":
+        reward_fn = None
+        for label, bb, kern in (("scst_e2e[1]", 1, None),
+                                ("scst_e2e[8]", 8, None),
+                                ("scst_e2e_q8[8]", 8, "cross-rowgroup-q8:4")):
+            try:
+                dt_s, sps_s, reward_fn = run_scst_e2e(
+                    batch=bb, iters=5 if bb == 1 else 3, decode_kernel=kern,
+                    reward_fn=reward_fn)
+                print(
+                    f"{label}: rollout + CXR-BERT reward + REINFORCE grad, "
+                    f"mbatch {bb}{', q8 rollout' if kern else ''}; "
+                    f"{dt_s * 1e3:.1f} ms/step ({sps_s:.2f} studies/s)",
+                    file=sys.stderr,
+                )
+                if label == "scst_e2e[1]":
+                    scst_e2e_ms, scst_e2e_sps = dt_s * 1e3, sps_s
+                elif label == "scst_e2e[8]":
+                    scst_e2e8_sps = sps_s
+                else:
+                    scst_e2e8_q8_sps = sps_s
+            except Exception as e:  # noqa: BLE001 - recorded + nonzero exit below
+                print(f"{label} bench failed: {e}", file=sys.stderr)
+                errors.append(f"{label}: {type(e).__name__}: {e}")
     # end-to-end input pipeline (VERDICT r3 item 1): disk JPEGs → native
     # loader → Prefetcher → device → report, plus loader-only rates
     input_sps = input_cached_sps = None
@@ -758,12 +996,57 @@ def main():
                     "opt-in, parity paths keep the exact XLA decode)"
                     if greedy_q8_sps is not None else None
                 ),
+                "beam4_fast_studies_per_sec": (
+                    round(beam_fast_sps, 3) if beam_fast_sps is not None else None
+                ),
+                "beam4_q8_studies_per_sec": (
+                    round(beam_q8_sps, 3) if beam_q8_sps is not None else None
+                ),
+                "beam4_q8_ref_batch_studies_per_sec": (
+                    round(beam_q8_ref_sps, 3) if beam_q8_ref_sps is not None else None
+                ),
+                "longitudinal_q8_beam4_studies_per_sec": (
+                    round(long_q8_sps, 3) if long_q8_sps is not None else None
+                ),
+                "serving_kernel_note": (
+                    "beam4_fast/_q8 and longitudinal_q8 use the same opt-in "
+                    "non-exact serving kernels as greedy_fast/_q8. Measured "
+                    "NEGATIVE result: the kernels LOSE to the exact XLA path "
+                    "on beam-4/longitudinal (beam folds 4 beams into M=4 rows "
+                    "per study*head, which XLA already lowers as a proper MXU "
+                    "dot — the kernels' greedy win comes from XLA's "
+                    "pathological M=1 matvec lowering). Greedy stays the only "
+                    "path where they are recommended; see DEVNOTES round 5"
+                    if (beam_fast_sps is not None or beam_q8_sps is not None)
+                    else None
+                ),
                 "scst_step_ms": round(scst_ms, 1) if scst_ms is not None else None,
                 "scst_studies_per_sec": (
                     round(scst_sps, 2) if scst_sps is not None else None
                 ),
                 "scst_b8_studies_per_sec": (
                     round(scst8_sps, 2) if scst8_sps is not None else None
+                ),
+                "scst_e2e_step_ms": (
+                    round(scst_e2e_ms, 1) if scst_e2e_ms is not None else None
+                ),
+                "scst_e2e_studies_per_sec": (
+                    round(scst_e2e_sps, 2) if scst_e2e_sps is not None else None
+                ),
+                "scst_e2e_b8_studies_per_sec": (
+                    round(scst_e2e8_sps, 2) if scst_e2e8_sps is not None else None
+                ),
+                "scst_e2e_q8_b8_studies_per_sec": (
+                    round(scst_e2e8_q8_sps, 2) if scst_e2e8_q8_sps is not None else None
+                ),
+                "scst_e2e_note": (
+                    "end-to-end SCST step incl. the host reward round-trip "
+                    "(BPE split → WordPiece → CXR-BERT BERT-base forward → "
+                    "advantage → REINFORCE grad); random weights at the real "
+                    "checkpoint shapes. _q8 routes the rollout through the "
+                    "int8 serving kernel (not a parity path — see "
+                    "train/scst.py:make_scst_step)"
+                    if scst_e2e_sps is not None else None
                 ),
                 "input_bound_studies_per_sec": (
                     round(input_sps, 2) if input_sps is not None else None
@@ -784,6 +1067,7 @@ def main():
                     "report_tokens": DECODE_TOKENS + 1,
                     "longitudinal_prompt_buckets": LONGITUDINAL_PROMPT_BUCKETS,
                     "longitudinal_beam4_by_prompt_width": long_by_width or None,
+                    "longitudinal_q8_beam4_by_prompt_width": long_q8_by_width or None,
                 },
                 **({"errors": errors} if errors else {}),
             }
