@@ -93,8 +93,11 @@ class TaskConfig:
     # at task.mbatch_size (batch 8 → ~22% slower, BENCH_r03). Pure batching —
     # per-study outputs are batch-size-invariant (token-identity test at both
     # batchings, tests/test_cli_end_to_end.py). 0 disables (decode at
-    # mbatch_size). Never applied to generated-prompt datasets — their decode
-    # batch IS the allocator's lane count (history threading).
+    # mbatch_size). Generated-prompt datasets can't be re-batched at decode
+    # time (their decode batch IS the allocator's lane count), so for them this
+    # knob instead sizes the lane allocation itself: make_datasets packs
+    # subjects onto eval_decode_rows // num_beams lanes
+    # (PreviousReportDataset.allocate_eval_lanes; 0 keeps mbatch_size lanes).
     eval_decode_rows: int = 96
     decoder_max_len: int = 256
     num_test_beams: int = 4
@@ -164,6 +167,22 @@ class TaskConfig:
     # first XLA compile — cli/stages.py). Set explicitly to null/None for the
     # reference's re-decode-every-epoch behaviour (data/dicom_id.py:78-95).
     image_cache_dir: Optional[str] = "auto"
+    # JAX persistent XLA compilation cache (jax_compilation_cache_dir): caches
+    # compiled executables on disk so repeat runs skip the minutes-long first
+    # compile. OFF by default: on the axon remote-TPU tunnel this box uses,
+    # executable DESERIALIZATION is pathologically slower than recompiling
+    # (measured: 27 s cold compile vs 486 s+ cache load — DEVNOTES round 5), so
+    # only enable it ("auto" → <exp_dir>/.xla_cache, or an explicit path) on
+    # direct-attached TPU hosts, where it is a standard large win.
+    xla_cache_dir: Optional[str] = None
+
+    @property
+    def resolved_xla_cache_dir(self) -> Optional[str]:
+        if not self.xla_cache_dir:
+            return None
+        if self.xla_cache_dir == "auto":
+            return os.path.join(self.exp_dir, ".xla_cache")
+        return self.xla_cache_dir
 
     @property
     def resolved_image_cache_dir(self) -> Optional[str]:

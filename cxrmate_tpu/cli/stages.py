@@ -274,7 +274,18 @@ def _start_cache_warmer(task: TaskConfig, *datasets):
         return None
     from cxrmate_tpu.data.image import CacheWarmer
 
-    return CacheWarmer([(ds.load_image, ds.image_paths()) for ds in datasets])
+    jobs = [(ds.load_image, ds.image_paths()) for ds in datasets]
+    if jax.process_index() == 0:
+        # the default-on cache silently materialises ~150-180 KB/image under
+        # exp_dir; say where and roughly how big so a quota-limited volume
+        # isn't a surprise (image_cache_dir: null disables)
+        n = sum(len(p) for _, p in jobs)
+        print(
+            f"decoded-image cache: {task.resolved_image_cache_dir} "
+            f"({n} images, ~{n * 0.17 / 1024:.1f} GB when warm; "
+            "set image_cache_dir: null to disable)"
+        )
+    return CacheWarmer(jobs)
 
 
 def make_metrics(task: TaskConfig, split: str, reward_fn=None, chexbert_fn=None,
@@ -1259,6 +1270,11 @@ def main(argv=None):
     # (JAX_COORDINATOR_ADDRESS set) joins the cluster here; single-host no-op
     initialize_if_needed()
     task = parse_args(argv)
+    if task.resolved_xla_cache_dir is not None:
+        # persistent XLA compile cache (opt-in — see the TaskConfig comment:
+        # a measured LOSS on the axon tunnel, a standard win on direct hosts)
+        jax.config.update("jax_compilation_cache_dir", task.resolved_xla_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     chexbert_fn = _optional(build_chexbert_fn, task)
     if getattr(task, "_train", False):
         if task.variant == "gen_prompt":

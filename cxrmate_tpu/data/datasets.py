@@ -23,6 +23,33 @@ from cxrmate_tpu.data.index import mimic_cxr_image_path
 _AMBIGUOUS = [(15964158, 21800331), (10661934, 21490809), (16973455, 21440406)]
 
 
+def _subject_lists(df: pd.DataFrame) -> List[List]:
+    """Per-subject chronological study lists (``df`` is already sorted
+    subject/date/time), longest first — the shared input of both lane packers.
+    Module-level (not a method): the allocator-parity fuzz test drives the
+    packers on duck-typed stand-ins."""
+    lists = (
+        df.drop_duplicates(subset=["study_id"])
+        .groupby("subject_id")["study_id"]
+        .apply(list)
+        .tolist()
+    )
+    lists.sort(key=len, reverse=True)
+    return lists
+
+
+def _greedy_pack(subject_lists: List[List], lanes: int):
+    """Greedy longest-first bin packing of subject study-lists onto ``lanes``
+    lanes → (buckets: per-lane lists of subject lists, totals)."""
+    buckets: List[List[List]] = [[] for _ in range(lanes)]
+    totals = [0] * lanes
+    for lst in subject_lists:
+        idx = int(np.argmin(totals))
+        buckets[idx].append(lst)
+        totals[idx] += len(lst)
+    return buckets, totals
+
+
 class DicomDataset:
     """Per-DICOM examples (single variant)."""
 
@@ -37,12 +64,14 @@ class DicomDataset:
 
     def image_paths(self) -> List[str]:
         """Every image file this dataset can load, deduplicated — the
-        decoded-image cache warmer's work list (data/image.py:CacheWarmer)."""
+        decoded-image cache warmer's work list (data/image.py:CacheWarmer).
+        Column-wise iteration, not iterrows: this runs synchronously at stage
+        startup, and iterrows over full MIMIC-CXR (~377k rows) would cost the
+        warmer a minute of the compile window it exists to exploit."""
+        sub = self.df.drop_duplicates("dicom_id")
         return [
-            mimic_cxr_image_path(
-                self.dataset_dir, r["subject_id"], r["study_id"], r["dicom_id"]
-            )
-            for _, r in self.df.drop_duplicates("dicom_id").iterrows()
+            mimic_cxr_image_path(self.dataset_dir, s, st, d)
+            for s, st, d in zip(sub["subject_id"], sub["study_id"], sub["dicom_id"])
         ]
 
     def __getitem__(self, index) -> Dict:
@@ -212,22 +241,15 @@ class PreviousReportDataset(StudyDataset):
         Reports are therefore token-identical at ANY lane count
         (tests/test_cli_end_to_end.py::test_gen_prompt_eval_lane_packing_token_identical)."""
         assert self.use_generated and not self.scst_generated
-        subject_lists = (
-            self.df.drop_duplicates(subset=["study_id"])
-            .groupby("subject_id")["study_id"]
-            .apply(list)
-            .tolist()
-        )
-        subject_lists.sort(key=len, reverse=True)
+        subject_lists = _subject_lists(self.df)
+        if not subject_lists:  # empty split: no lanes, evaluate emits no rows
+            self.examples = []
+            return
         lanes = max(1, min(lanes, len(subject_lists)))
-        buckets: List[List] = [[] for _ in range(lanes)]
-        totals = [0] * lanes
-        for lst in subject_lists:
-            idx = int(np.argmin(totals))
-            buckets[idx].extend(lst)
-            totals[idx] += len(lst)
+        buckets, totals = _greedy_pack(subject_lists, lanes)
         width = max(totals)
-        lanes_flat = [b + [b[-1]] * (width - len(b)) for b in buckets]
+        lanes_flat = [[s for subj in b for s in subj] for b in buckets]
+        lanes_flat = [b + [b[-1]] * (width - len(b)) for b in lanes_flat]
         self.examples = [s for group in zip(*lanes_flat) for s in group]
         self.mbatch_size = lanes
         assert len(set(self.examples)) == self.df.study_id.nunique()
@@ -245,20 +267,8 @@ class PreviousReportDataset(StudyDataset):
         world_size = self.world_size
         lanes = world_size * self.mbatch_size
 
-        subject_lists = (
-            self.df.drop_duplicates(subset=["study_id"])
-            .groupby("subject_id")["study_id"]
-            .apply(list)
-            .tolist()
-        )
-        subject_lists.sort(key=len, reverse=True)
-
-        buckets: List[List[List]] = [[] for _ in range(lanes)]
-        totals = [0] * lanes
-        for lst in subject_lists:
-            idx = int(np.argmin(totals))
-            buckets[idx].append(lst)
-            totals[idx] += len(lst)
+        subject_lists = _subject_lists(self.df)
+        buckets, totals = _greedy_pack(subject_lists, lanes)
 
         def flat_count():
             return len([s for lane in buckets for subj in lane for s in subj])

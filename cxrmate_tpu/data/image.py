@@ -190,8 +190,12 @@ class CacheWarmer:
     exit on their own when the work list is exhausted.
 
     ``jobs``: [(load_fn, paths), ...] — one entry per dataset split, warmed in
-    order (train first: it is consumed first). ``scripts/warm_cache.py`` remains
-    for explicit ahead-of-time warming (e.g. on a shared cache host)."""
+    order (train first: it is consumed first). A loader exposing a ``warm``
+    attribute (the cached factories above) is warmed through that decode-only
+    entry point instead of the full closure — no discarded augment/normalize
+    tail, and already-cached entries cost one stat() instead of a full np.load.
+    ``scripts/warm_cache.py`` remains for explicit ahead-of-time warming
+    (e.g. on a shared cache host)."""
 
     def __init__(self, jobs, workers: Optional[int] = None):
         import itertools
@@ -200,7 +204,7 @@ class CacheWarmer:
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self._work = itertools.chain.from_iterable(
-            ((load, p) for p in paths) for load, paths in jobs
+            ((getattr(load, "warm", load), p) for p in paths) for load, paths in jobs
         )
         n = workers or min(8, os.cpu_count() or 1)
         self.threads = [
@@ -241,28 +245,46 @@ def make_eval_loader_transform(size: int = 384, cache_dir: Optional[str] = None)
     cropped uint8 intermediate (the exact pipeline's own output, so cached runs
     stay bit-identical) — see the decoded-image cache note above."""
 
+    def decode_for_cache(path: str) -> np.ndarray:
+        a = np.asarray(resize_shortest_edge(load_image(path), size))
+        # replicated-gray sources (all MIMIC JPEGs; load_image's
+        # convert("RGB") replicates the single channel, and PIL resizes
+        # channels independently so they stay replicated) store ONE channel
+        # — 3× less cache disk/read traffic. stack-then-crop equals
+        # crop-then-stack, so this stays byte-identical to eval_transform.
+        if (a[:, :, 0] == a[:, :, 1]).all() and (a[:, :, 0] == a[:, :, 2]).all():
+            return center_crop(a[:, :, :1], size)[:, :, 0]
+        return center_crop(a, size)
+
     def load(path: str) -> np.ndarray:
         if cache_dir is None:
             return eval_transform(load_image(path), size)
         cf = _cache_file(cache_dir, path, size, "eval")
         arr = _cache_get(cf)
         if arr is None:
-            a = np.asarray(resize_shortest_edge(load_image(path), size))
-            # replicated-gray sources (all MIMIC JPEGs; load_image's
-            # convert("RGB") replicates the single channel, and PIL resizes
-            # channels independently so they stay replicated) store ONE channel
-            # — 3× less cache disk/read traffic. stack-then-crop equals
-            # crop-then-stack, so this stays byte-identical to eval_transform.
-            if (a[:, :, 0] == a[:, :, 1]).all() and (a[:, :, 0] == a[:, :, 2]).all():
-                arr = center_crop(a[:, :, :1], size)[:, :, 0]
-            else:
-                arr = center_crop(a, size)
+            arr = decode_for_cache(path)
             _cache_put(cf, arr)
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)
         return normalize_chw(arr)
 
+    if cache_dir is not None:
+        load.warm = _make_warm(cache_dir, size, "eval", decode_for_cache)
     return load
+
+
+def _make_warm(cache_dir: str, size: int, variant: str, decode_for_cache):
+    """Decode-only cache-fill entry point (``load.warm``) the CacheWarmer
+    prefers over the full loader closure: skips the normalize/augment tail the
+    warmer would throw away, and skips the decode entirely when the entry
+    already exists (a completed ``_cache_put`` rename implies a whole file)."""
+
+    def warm(path: str) -> None:
+        cf = _cache_file(cache_dir, path, size, variant)
+        if not os.path.exists(cf):
+            _cache_put(cf, decode_for_cache(path))
+
+    return warm
 
 
 def make_fast_eval_loader_transform(size: int = 384, normalize: bool = False,
@@ -314,6 +336,8 @@ def make_fast_eval_loader_transform(size: int = 384, normalize: bool = False,
         x = np.repeat(arr[None, :, :], 3, axis=0).astype(np.float32) / 255.0
         return (x - IMAGENET_MEAN[:, None, None]) / IMAGENET_STD[:, None, None]
 
+    if cache_dir is not None:
+        load.warm = _make_warm(cache_dir, size, variant, decode)
     return load
 
 
@@ -368,18 +392,23 @@ def make_train_loader_transform(size: int = 384, seed: int = 0, native_decode: b
         cf = _cache_file(cache_dir, path, size, variant)
         arr = _cache_get(cf)
         if arr is None:
-            arr = decode_resized_rgb(path)
-            # replicated-gray sources (all MIMIC JPEGs) store one channel (3x
-            # less cache disk/read traffic); re-replicated on load
-            if (arr[:, :, 0] == arr[:, :, 1]).all() and (arr[:, :, 0] == arr[:, :, 2]).all():
-                _cache_put(cf, arr[:, :, 0])
-            else:
-                _cache_put(cf, arr)
-        elif arr.ndim == 2:
+            arr = decode_for_cache(path)
+            _cache_put(cf, arr)
+        if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)
         return train_augment(arr, size, rng)
 
+    def decode_for_cache(path: str) -> np.ndarray:
+        arr = decode_resized_rgb(path)
+        # replicated-gray sources (all MIMIC JPEGs) store one channel (3x
+        # less cache disk/read traffic); re-replicated on load
+        if (arr[:, :, 0] == arr[:, :, 1]).all() and (arr[:, :, 0] == arr[:, :, 2]).all():
+            return arr[:, :, 0]
+        return arr
+
     load.set_epoch = lambda e: state.__setitem__("epoch", int(e))
+    if cache_dir is not None:
+        load.warm = _make_warm(cache_dir, size, variant, decode_for_cache)
     return load
 
 

@@ -65,8 +65,17 @@ def _split_sentence_periods(text: str) -> str:
         # m.group(1).strip("."): don't re-split an ellipsis ("..." is already
         # its own token here and PUNCTUATIONS drops it whole)
         if m and m.group(1).strip(".") and not _ABBREV_KEEP.match(m.group(1) + "."):
-            out.append(m.group(1))
-            out.append(".")
+            head = m.group(1)
+            periods = ["."]
+            # double-period typos ("edema..", common in generated reports)
+            # leave further trailing periods on the head — keep splitting
+            # unless that would empty the word or break an abbreviation
+            # ("etc.." keeps "etc." + ".")
+            while head.endswith(".") and head.rstrip(".") and not _ABBREV_KEEP.match(head):
+                head = head[:-1]
+                periods.append(".")
+            out.append(head)
+            out.extend(periods)
             if m.group(2):
                 out.append(m.group(2))
         else:

@@ -91,3 +91,35 @@ def test_allocator_fuzz_matches_reference(monkeypatch):
             assert got == expected, f"trial {trial} (world={world} mbatch={mbatch})"
             checked += 1
     assert checked >= 50, f"too few comparable draws ({checked})"
+
+
+def test_allocate_eval_lanes_empty_split():
+    """An empty eval split (over-filtered custom dataset) must yield an empty
+    example list — evaluate simply emits no rows, like the parity allocator —
+    not an IndexError from padding an empty lane."""
+    ds = object.__new__(PreviousReportDataset)
+    ds.df = pd.DataFrame({"subject_id": [], "study_id": []})
+    ds.use_generated, ds.scst_generated = True, False
+    ds.mbatch_size = 4
+    ds.examples = []
+    ds.allocate_eval_lanes(24)
+    assert ds.examples == []
+    assert ds.mbatch_size == 4  # decode batch untouched for the empty pass
+
+
+def test_allocate_eval_lanes_clamps_to_subject_count():
+    """Lane count clamps to the number of subjects and every study decodes
+    exactly once per lane slot (duplicates only pad SHORT lanes)."""
+    rows = []
+    for subj in range(3):
+        for s in range(subj + 1):
+            rows.append({"subject_id": f"p{subj}", "study_id": f"s{subj}_{s}"})
+    ds = object.__new__(PreviousReportDataset)
+    ds.df = pd.DataFrame(rows)
+    ds.use_generated, ds.scst_generated = True, False
+    ds.mbatch_size = 1
+    ds.examples = []
+    ds.allocate_eval_lanes(96)
+    assert ds.mbatch_size == 3  # clamped to the subject count
+    assert set(ds.examples) == set(ds.df.study_id)
+    assert len(ds.examples) == 3 * 3  # 3 lanes padded to the longest (3)

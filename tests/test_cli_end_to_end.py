@@ -1166,6 +1166,17 @@ def test_image_cache_default_auto_and_resolution(synthetic_dataset):
     assert _task(root, "multi", image_cache_dir="/x/y").resolved_image_cache_dir == "/x/y"
 
 
+def test_xla_cache_dir_resolution(synthetic_dataset):
+    """The persistent-XLA-compile-cache knob is OFF by default (a measured loss
+    on the axon tunnel — DEVNOTES round 5) and resolves like image_cache_dir
+    when opted in ("auto" → <exp_dir>/.xla_cache)."""
+    root = synthetic_dataset
+    assert _task(root, "multi").resolved_xla_cache_dir is None
+    t = _task(root, "multi", xla_cache_dir="auto")
+    assert t.resolved_xla_cache_dir == os.path.join(t.exp_dir, ".xla_cache")
+    assert _task(root, "multi", xla_cache_dir="/x/c").resolved_xla_cache_dir == "/x/c"
+
+
 def test_fit_populates_default_image_cache(synthetic_dataset):
     """A plain fit() with the default config writes decoded-image cache entries
     under <exp_dir>/.image_cache (write-through via the loaders + the

@@ -125,6 +125,17 @@ def test_ptb_tokenizer_mid_line_sentence_periods():
     assert ptb_tokenize_line("1. Measures 5.4 cm. Unchanged vs. prior...") == [
         "1", "measures", "5.4", "cm", "unchanged", "vs.", "prior",
     ]
+    # double-period typos (common in generated reports) must not leave a period
+    # glued to the word; abbreviations still keep exactly their own period
+    assert ptb_tokenize_line("No focal edema.. Stable.") == [
+        "no", "focal", "edema", "stable",
+    ]
+    assert ptb_tokenize_line("Lines unchanged etc.. Stable.") == [
+        "lines", "unchanged", "etc.", "stable",
+    ]
+    assert ptb_tokenize_line("Served in the u.s.. Stable.") == [
+        "served", "in", "the", "u.s.", "stable",
+    ]
 
 
 def test_chexbert_scores_math():

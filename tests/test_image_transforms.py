@@ -17,6 +17,7 @@ transform COMPOSITION with torchvision's documented parameter semantics:
   * ToTensor + Normalize(ImageNet mean/std).
 """
 
+import glob
 import os
 
 import numpy as np
@@ -278,6 +279,40 @@ def test_decoded_cache_is_byte_identical_per_path(tmp_path):
         os.utime(jpath, ns=(st.st_atime_ns, st.st_mtime_ns))
         warm = cached(str(jpath))
         np.testing.assert_array_equal(warm, cold)
+        jpath.write_bytes(data)
+        os.utime(jpath, ns=(st.st_atime_ns, st.st_mtime_ns))
+
+
+def test_decoded_cache_warm_entry_point(tmp_path):
+    """Cached loaders expose a decode-only ``warm`` attribute (what the
+    CacheWarmer prefers): it fills the cache without paying the augment /
+    normalize tail, a later load() is a pure hit byte-identical to a cold
+    decode, and warming an existing entry is a no-op (no rewrite)."""
+    arr = _smooth_image(500, 700)
+    jpath = tmp_path / "w.jpg"
+    jpath.write_bytes(_jpeg_bytes(arr, "L"))
+
+    for i, (make, kwargs) in enumerate((
+        (image_mod.make_eval_loader_transform, {}),
+        (image_mod.make_fast_eval_loader_transform, {}),
+        (image_mod.make_train_loader_transform, {"seed": 3}),
+    )):
+        cdir = str(tmp_path / f"cache{i}")
+        cold = make(size=96, **kwargs)(str(jpath))
+        assert not hasattr(make(size=96, **kwargs), "warm")  # uncached: no-op
+        cached = make(size=96, cache_dir=cdir, **kwargs)
+        cached.warm(str(jpath))
+        entries = glob.glob(os.path.join(cdir, "*", "*.npy"))
+        assert len(entries) == 1
+        mtime = os.stat(entries[0]).st_mtime_ns
+        cached.warm(str(jpath))  # already warm: must not rewrite
+        assert os.stat(entries[0]).st_mtime_ns == mtime
+        # corrupt the source in place (same key): a hit must serve from cache
+        data = jpath.read_bytes()
+        st = jpath.stat()
+        jpath.write_bytes(b"x" * len(data))
+        os.utime(jpath, ns=(st.st_atime_ns, st.st_mtime_ns))
+        np.testing.assert_array_equal(cached(str(jpath)), cold)
         jpath.write_bytes(data)
         os.utime(jpath, ns=(st.st_atime_ns, st.st_mtime_ns))
 
