@@ -20,6 +20,7 @@ def _stub_bench_sections(monkeypatch, bench):
     contract tests fall through to the real (hours-long) implementation."""
     monkeypatch.setattr(bench, "run_train", lambda *a, **k: (0.115, 34.8, 2.6e12))
     monkeypatch.setattr(bench, "run_scst", lambda *a, **k: (0.175, 5.7))
+    monkeypatch.setattr(bench, "run_scst_e2e", lambda *a, **k: (0.358, 2.8, object()))
     monkeypatch.setattr(bench, "build_jpeg_corpus", lambda *a, **k: ["stub.jpg"])
     monkeypatch.setattr(
         bench, "run_loader_only",
@@ -54,6 +55,8 @@ def test_bench_json_contract(monkeypatch, capsys):
                 "greedy_fast_studies_per_sec", "greedy_fast_note",
                 "greedy_q8_studies_per_sec", "greedy_q8_note",
                 "scst_step_ms", "scst_studies_per_sec", "scst_b8_studies_per_sec",
+                "scst_e2e_step_ms", "scst_e2e_studies_per_sec",
+                "scst_e2e_b8_studies_per_sec", "scst_e2e_q8_b8_studies_per_sec",
                 "input_bound_studies_per_sec", "input_cached_studies_per_sec",
                 "loader_images_per_sec",
                 "p50_study_latency_ms", "config"):
@@ -63,6 +66,8 @@ def test_bench_json_contract(monkeypatch, capsys):
     assert data["greedy_fast_studies_per_sec"] == 42.0
     assert data["scst_step_ms"] == 175.0
     assert data["scst_b8_studies_per_sec"] == 5.7
+    assert data["scst_e2e_step_ms"] == 358.0  # stubbed: the real section is
+    # full-size SCST + BERT-base reward — hours on the CPU test box
     assert data["input_bound_studies_per_sec"] == 12.4
     assert data["input_cached_studies_per_sec"] == 41.4
     assert data["loader_images_per_sec"] == 28.0
